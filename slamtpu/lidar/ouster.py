@@ -1,0 +1,399 @@
+"""Ouster LiDAR packet decoding (host-side, vectorized numpy).
+
+Byte-level re-implementation of the reference decoder
+(/root/reference/src/lidarcallback.cpp:373-891), reshaped for TPU consumption:
+instead of a growing SoA point list, each completed sweep is a **dense range
+image grid** of fixed shape (columns_per_frame x subset_channels) plus
+per-column timestamps/validity. Projection to 3-D points and all filtering
+happen on-device (slamtpu.lidar.project), keeping only memcpy-shaped byte
+twiddling on the host.
+
+Wire formats (validated against golden packets in tests/test_lidar.py):
+
+RNG19_RFL8_SIG16_NIR16 (lidarcallback.cpp:632-891):
+  packet = 32 B header | columns_per_packet x column block | 32 B footer
+  header: packet_type le16 @0 (must be 0x0001), frame_id le16 @2
+  column block = 12 B header (timestamp_ns le64 @0, m_id le16 @8,
+  status u8 @10 bit0) + pixels_per_column x 12 B channel
+  channel: range_mm = le32 & 0x7FFFF (19 bit) @0, reflectivity u8 @4,
+  signal le16 @6, nir le16 @8
+
+LEGACY (lidarcallback.cpp:382-630):
+  packet = columns_per_packet x column block (no header/footer)
+  column block = 16 B header (timestamp_ns le64 @0, m_id le16 @8,
+  frame_id le16 @10) + pixels x 12 B channel + 4 B block status (0xFFFFFFFF
+  = valid)
+  channel: range_mm = le32 & 0xFFFFF (20 bit) @0, then as RNG19
+
+Timestamps are folded modulo 86400 s exactly like the reference
+(lidarcallback.cpp:680) to match the compass time base.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import numpy as np
+
+SECONDS_PER_DAY = 86400.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorMeta:
+    """Ouster factory metadata (subset used; cf. ParseMetadata,
+    lidarcallback.cpp:68-123)."""
+
+    columns_per_frame: int
+    pixels_per_column: int
+    columns_per_packet: int
+    udp_profile: str  # "RNG19_RFL8_SIG16_NIR16" | "LEGACY"
+    beam_azimuth_deg: np.ndarray  # (pixels,)
+    beam_altitude_deg: np.ndarray  # (pixels,)
+    lidar_origin_to_beam_origin_mm: float
+    pixel_shift_by_row: np.ndarray  # (pixels,) int
+    lidar_to_sensor_transform: np.ndarray  # (4, 4), translation in meters
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "SensorMeta":
+        fmt = obj["lidar_data_format"]
+        cfg = obj["config_params"]
+        beam = obj["beam_intrinsics"]
+        T = np.asarray(obj["lidar_intrinsics"]["lidar_to_sensor_transform"], np.float64)
+        T = T.reshape(4, 4)
+        T[:3, 3] *= 1e-3  # mm -> m (lidarcallback.cpp:112-118)
+        return cls(
+            columns_per_frame=int(fmt["columns_per_frame"]),
+            pixels_per_column=int(fmt["pixels_per_column"]),
+            columns_per_packet=int(cfg["columns_per_packet"]),
+            udp_profile=str(cfg["udp_profile_lidar"]),
+            beam_azimuth_deg=np.asarray(beam["beam_azimuth_angles"], np.float64),
+            beam_altitude_deg=np.asarray(beam["beam_altitude_angles"], np.float64),
+            lidar_origin_to_beam_origin_mm=float(beam["lidar_origin_to_beam_origin_mm"]),
+            pixel_shift_by_row=np.asarray(fmt["pixel_shift_by_row"], np.int32),
+            lidar_to_sensor_transform=T,
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "SensorMeta":
+        with open(path) as f:
+            return cls.from_json(json.load(f))
+
+
+@dataclasses.dataclass(frozen=True)
+class LidarParams:
+    """User parameters (cf. ParseParamdata, lidarcallback.cpp:125-189)."""
+
+    body_to_lidar_rotation: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(3)
+    )  # Cb2s
+    body_to_lidar_translation: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )  # tb2s
+    channel_stride: int = 1  # one of 1, 2, 4, 8, 16
+    z_filter: tuple = (-1e9, 1e9)  # keep if z in band ...
+    reflectivity_threshold: float = 255.0  # ... OR reflectivity >= this
+    range_filter: tuple = (0.0, 1e9)
+    vehicle_box_center: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    vehicle_box_dimensions: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "LidarParams":
+        p = obj["lidar_parameter"]
+        kw = {}
+        if "Cb2s" in p:
+            kw["body_to_lidar_rotation"] = np.asarray(p["Cb2s"], np.float64).reshape(3, 3)
+        if "tb2s" in p:
+            kw["body_to_lidar_translation"] = np.asarray(p["tb2s"], np.float64)
+        if "channelStride" in p:
+            kw["channel_stride"] = int(p["channelStride"])
+        if "zAxisFilter" in p:
+            kw["z_filter"] = (float(p["zAxisFilter"][0]), float(p["zAxisFilter"][1]))
+        if "reflectionThreshold" in p:
+            kw["reflectivity_threshold"] = float(p["reflectionThreshold"])
+        if "rangeFilter" in p:
+            kw["range_filter"] = (float(p["rangeFilter"][0]), float(p["rangeFilter"][1]))
+        if "vehicleFilterBox" in p:
+            kw["vehicle_box_center"] = np.asarray(p["vehicleFilterBox"]["center"], np.float32)
+            kw["vehicle_box_dimensions"] = np.asarray(
+                p["vehicleFilterBox"]["dimensions"], np.float32
+            )
+        if kw.get("channel_stride", 1) not in (1, 2, 4, 8, 16):
+            raise ValueError("channelStride must be one of 1, 2, 4, 8, 16")
+        return cls(**kw)
+
+    @classmethod
+    def from_file(cls, path: str) -> "LidarParams":
+        with open(path) as f:
+            return cls.from_json(json.load(f))
+
+
+def synthetic_os2_metadata(
+    columns_per_frame: int = 2048,
+    pixels_per_column: int = 128,
+    columns_per_packet: int = 16,
+    udp_profile: str = "RNG19_RFL8_SIG16_NIR16",
+    fov_deg: float = 22.5,
+) -> SensorMeta:
+    """OS-2-128-like synthetic factory metadata for tests/benchmarks (evenly
+    spaced altitudes across the vertical FOV, small alternating azimuths)."""
+    alt = np.linspace(fov_deg / 2, -fov_deg / 2, pixels_per_column)
+    az = np.tile([1.0, -1.0, 2.0, -2.0], pixels_per_column // 4 + 1)[:pixels_per_column]
+    return SensorMeta(
+        columns_per_frame=columns_per_frame,
+        pixels_per_column=pixels_per_column,
+        columns_per_packet=columns_per_packet,
+        udp_profile=udp_profile,
+        beam_azimuth_deg=az,
+        beam_altitude_deg=alt,
+        lidar_origin_to_beam_origin_mm=12.163,
+        pixel_shift_by_row=np.zeros(pixels_per_column, np.int32),
+        lidar_to_sensor_transform=np.eye(4),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class Luts:
+    """Direction/offset lookup tables in the body frame, subset-strided.
+
+    direction[m_id, s] and offset[m_id] reproduce LidarCallback::Initialize
+    (lidarcallback.cpp:286-327): ray = unit(total azimuth, altitude) rotated
+    by lidar->body; offset = beam-origin circle transformed to body frame.
+    point = range * direction + offset (an FMA, :849-851).
+    """
+
+    direction: np.ndarray  # (cols, subset, 3) float32
+    offset: np.ndarray  # (cols, 3) float32
+    subset_c_ids: np.ndarray  # (subset,) int32
+    subset_channels: int
+
+
+def build_luts(meta: SensorMeta, params: LidarParams) -> Luts:
+    cols = meta.columns_per_frame
+    pix = meta.pixels_per_column
+    stride = params.channel_stride
+    sub_ids = np.arange(0, pix, stride, dtype=np.int32)
+    n_sub = len(sub_ids)
+
+    T_b2l = np.eye(4)
+    T_b2l[:3, :3] = params.body_to_lidar_rotation
+    T_b2l[:3, 3] = params.body_to_lidar_translation
+    T_l2b = np.linalg.inv(T_b2l)
+    R_l2b = T_l2b[:3, :3]
+
+    m = np.arange(cols, dtype=np.float64)
+    meas_az = 2.0 * np.pi * (1.0 - m / cols)  # (cols,)
+    r0 = meta.lidar_origin_to_beam_origin_mm * 1e-3
+    off_lidar = np.stack(
+        [r0 * np.cos(meas_az), r0 * np.sin(meas_az), np.zeros(cols), np.ones(cols)], -1
+    )
+    off_body = (off_lidar @ T_l2b.T)[:, :3]
+
+    az_rad = np.deg2rad(meta.beam_azimuth_deg[sub_ids])  # (sub,)
+    alt_rad = np.deg2rad(meta.beam_altitude_deg[sub_ids])
+    total_az = meas_az[:, None] + az_rad[None, :]  # (cols, sub)
+    cos_alt, sin_alt = np.cos(alt_rad), np.sin(alt_rad)
+    dir_lidar = np.stack(
+        [
+            cos_alt[None, :] * np.cos(total_az),
+            cos_alt[None, :] * np.sin(total_az),
+            np.broadcast_to(sin_alt[None, :], total_az.shape),
+        ],
+        axis=-1,
+    )  # (cols, sub, 3)
+    dir_body = dir_lidar @ R_l2b.T
+    return Luts(
+        direction=dir_body.astype(np.float32),
+        offset=off_body.astype(np.float32),
+        subset_c_ids=sub_ids,
+        subset_channels=n_sub,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packet parsing
+# ---------------------------------------------------------------------------
+
+
+def packet_size(meta: SensorMeta) -> int:
+    if meta.udp_profile == "RNG19_RFL8_SIG16_NIR16":
+        block = 12 + meta.pixels_per_column * 12
+        return 32 + meta.columns_per_packet * block + 32
+    if meta.udp_profile == "LEGACY":
+        block = 16 + meta.pixels_per_column * 12 + 4
+        return meta.columns_per_packet * block
+    raise ValueError(f"Unsupported udp_profile_lidar: {meta.udp_profile}")
+
+
+@dataclasses.dataclass
+class PacketColumns:
+    """Parsed column data of one packet (vectorized over columns)."""
+
+    frame_ids: np.ndarray  # (C,) uint16 (RNG19: same value repeated)
+    timestamps_s: np.ndarray  # (C,) float64, folded mod 86400
+    m_ids: np.ndarray  # (C,) int32
+    col_valid: np.ndarray  # (C,) bool (status bit / block status / m_id range)
+    ranges_m: np.ndarray  # (C, subset) float32
+    reflectivity: np.ndarray  # (C, subset) uint8
+    signal: np.ndarray  # (C, subset) uint16
+    nir: np.ndarray  # (C, subset) uint16
+
+
+def parse_packet(buf: bytes, meta: SensorMeta, luts: Luts) -> Optional[PacketColumns]:
+    """Parse one UDP payload into per-column arrays (subset channels only)."""
+    data = np.frombuffer(buf, dtype=np.uint8)
+    if data.size != packet_size(meta):
+        return None
+    C = meta.columns_per_packet
+    pix = meta.pixels_per_column
+    sub = luts.subset_c_ids
+
+    if meta.udp_profile == "RNG19_RFL8_SIG16_NIR16":
+        ptype = int(data[:2].view("<u2")[0])
+        if ptype != 0x0001:
+            return None
+        frame_id = int(data[2:4].view("<u2")[0])
+        block = 12 + pix * 12
+        body = data[32 : 32 + C * block].reshape(C, block)
+        hdr = body[:, :12]
+        ts_ns = hdr[:, 0:8].copy().view("<u8")[:, 0]
+        m_ids = hdr[:, 8:10].copy().view("<u2")[:, 0].astype(np.int32)
+        col_valid = (hdr[:, 10] & 0x01).astype(bool)
+        chan = body[:, 12:].reshape(C, pix, 12)[:, sub, :]  # (C, subset, 12)
+        r0 = chan[:, :, 0].astype(np.uint32)
+        r1 = chan[:, :, 1].astype(np.uint32)
+        r2 = chan[:, :, 2].astype(np.uint32)
+        range_mm = (r0 | (r1 << 8) | (r2 << 16)) & 0x0007FFFF
+        frame_ids = np.full(C, frame_id, np.uint16)
+    else:  # LEGACY
+        block = 16 + pix * 12 + 4
+        body = data[: C * block].reshape(C, block)
+        hdr = body[:, :16]
+        ts_ns = hdr[:, 0:8].copy().view("<u8")[:, 0]
+        m_ids = hdr[:, 8:10].copy().view("<u2")[:, 0].astype(np.int32)
+        frame_ids = hdr[:, 10:12].copy().view("<u2")[:, 0]
+        status = body[:, 16 + pix * 12 : 16 + pix * 12 + 4].copy().view("<u4")[:, 0]
+        col_valid = status == 0xFFFFFFFF
+        chan = body[:, 16 : 16 + pix * 12].reshape(C, pix, 12)[:, sub, :]
+        range_mm = (chan[:, :, 0:4].copy().view("<u4")[:, :, 0]) & 0x000FFFFF
+        frame_ids = frame_ids.astype(np.uint16)
+
+    ts_s = np.fmod(ts_ns.astype(np.float64) * 1e-9, SECONDS_PER_DAY)
+    col_valid = col_valid & (m_ids < meta.columns_per_frame) & (ts_s >= 0)
+    refl = chan[:, :, 4]
+    signal = chan[:, :, 6:8].copy().view("<u2")[:, :, 0]
+    nir = chan[:, :, 8:10].copy().view("<u2")[:, :, 0]
+    return PacketColumns(
+        frame_ids=frame_ids,
+        timestamps_s=ts_s,
+        m_ids=m_ids,
+        col_valid=col_valid,
+        ranges_m=(range_mm.astype(np.float32) * 1e-3),
+        reflectivity=refl.astype(np.uint8),
+        signal=signal.astype(np.uint16),
+        nir=nir.astype(np.uint16),
+    )
+
+
+@dataclasses.dataclass
+class FrameGrid:
+    """One completed sweep as dense fixed-shape grids (cols x subset)."""
+
+    frame_id: int
+    ranges_m: np.ndarray  # (cols, subset) float32, 0 = no return
+    reflectivity: np.ndarray  # (cols, subset) uint8
+    signal: np.ndarray  # (cols, subset) uint16
+    nir: np.ndarray  # (cols, subset) uint16
+    col_timestamp_s: np.ndarray  # (cols,) float64, 0 where column missing
+    col_valid: np.ndarray  # (cols,) bool
+    timestamp: float  # first valid column ts (frame start)
+    timestamp_end: float  # last valid column ts
+    interframe_timedelta: float
+
+    @property
+    def num_columns(self) -> int:
+        return int(self.col_valid.sum())
+
+
+class FrameAssembler:
+    """Stateful packet -> frame assembly (frame boundary on frame_id change,
+    cf. lidarcallback.cpp:655-670). Feed packets in arrival order; a completed
+    FrameGrid is returned when a new frame id is first seen."""
+
+    def __init__(self, meta: SensorMeta, luts: Luts):
+        self.meta = meta
+        self.luts = luts
+        self._frame_id: Optional[int] = None
+        self._prev_end_ts = 0.0
+        self._reset_grids()
+
+    def _reset_grids(self):
+        cols, sub = self.meta.columns_per_frame, self.luts.subset_channels
+        self._ranges = np.zeros((cols, sub), np.float32)
+        self._refl = np.zeros((cols, sub), np.uint8)
+        self._signal = np.zeros((cols, sub), np.uint16)
+        self._nir = np.zeros((cols, sub), np.uint16)
+        self._col_ts = np.zeros(cols, np.float64)
+        self._col_valid = np.zeros(cols, bool)
+
+    def _emit(self) -> FrameGrid:
+        valid_ts = self._col_ts[self._col_valid]
+        t0 = float(valid_ts.min()) if valid_ts.size else 0.0
+        t1 = float(valid_ts.max()) if valid_ts.size else 0.0
+        frame = FrameGrid(
+            frame_id=int(self._frame_id),
+            ranges_m=self._ranges,
+            reflectivity=self._refl,
+            signal=self._signal,
+            nir=self._nir,
+            col_timestamp_s=self._col_ts,
+            col_valid=self._col_valid,
+            timestamp=t0,
+            timestamp_end=t1,
+            interframe_timedelta=max(0.0, t0 - self._prev_end_ts)
+            if self._prev_end_ts > 0
+            else 0.0,
+        )
+        self._prev_end_ts = t1
+        self._reset_grids()
+        return frame
+
+    def push_packet(self, buf: bytes) -> Optional[FrameGrid]:
+        pc = parse_packet(buf, self.meta, self.luts)
+        if pc is None:
+            return None
+        completed = None
+        # Columns may span a frame boundary (LEGACY carries frame_id per column).
+        for start in _frame_runs(pc.frame_ids):
+            fid = int(pc.frame_ids[start[0]])
+            if self._frame_id is None:
+                self._frame_id = fid
+            elif fid != self._frame_id:
+                if self._col_valid.any():
+                    completed = self._emit()
+                self._frame_id = fid
+            sl = slice(start[0], start[1])
+            ok = pc.col_valid[sl]
+            m = pc.m_ids[sl][ok]
+            self._ranges[m] = pc.ranges_m[sl][ok]
+            self._refl[m] = pc.reflectivity[sl][ok]
+            self._signal[m] = pc.signal[sl][ok]
+            self._nir[m] = pc.nir[sl][ok]
+            self._col_ts[m] = pc.timestamps_s[sl][ok]
+            self._col_valid[m] = True
+        return completed
+
+    def flush(self) -> Optional[FrameGrid]:
+        """Emit the partially assembled frame (end of replay)."""
+        if self._frame_id is not None and self._col_valid.any():
+            return self._emit()
+        return None
+
+
+def _frame_runs(frame_ids: np.ndarray):
+    """Contiguous runs of equal frame id: yields (start, end) index pairs."""
+    change = np.nonzero(np.diff(frame_ids))[0] + 1
+    bounds = np.concatenate([[0], change, [len(frame_ids)]])
+    return [(int(bounds[i]), int(bounds[i + 1])) for i in range(len(bounds) - 1)]

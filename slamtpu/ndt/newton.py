@@ -1,0 +1,97 @@
+"""Newton / Gauss-Newton P2D-NDT registration as a jittable while_loop.
+
+TPU-native replacement for the ndt_omp Newton optimizer the reference builds
+its odometry on (/root/reference/run/pipeline.cpp:464-481,557-604): fixed
+maximum iteration count, convergence masking instead of data-dependent exit,
+and the final Hessian returned so callers can derive a pose covariance from
+-(H + eps I)^-1 exactly like run/pipeline.cpp:594-603 does.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.se3 import Pose3
+from ..mapping import voxel
+from ..mapping.gaussian_map import GaussianMap
+from . import objective
+from .constants import gauss_constants
+
+
+class NewtonConfig(NamedTuple):
+    resolution: float = 1.0
+    outlier_ratio: float = 0.55
+    max_iterations: int = 50
+    trans_eps: float = 1e-4  # convergence threshold on |step| (register_config.json)
+    step_size: float = 1.0
+    max_step_norm: float = 1.0  # trust-region style clamp on the Newton step
+    use_direct1: bool = False
+    hess_lambda: float = 1e-6
+
+
+class NewtonResult(NamedTuple):
+    pose: Pose3
+    hessian: jax.Array  # (6, 6) GN Hessian of the score at the final pose
+    score: jax.Array  # ()
+    iterations: jax.Array  # () int32
+    converged: jax.Array  # () bool
+    n_contrib: jax.Array  # () int32
+
+
+def newton_align(
+    points: jax.Array,
+    mask: jax.Array,
+    gmap: GaussianMap,
+    init_pose: Pose3,
+    cfg: NewtonConfig = NewtonConfig(),
+) -> NewtonResult:
+    """Align a source scan to the Gaussian map starting from ``init_pose``.
+
+    The NDT score is *maximized*; near the optimum the GN Hessian of the score
+    is negative definite, so the Newton step solve(H, -g) moves uphill — the
+    same sign convention as the reference SVN stage-2 solve
+    (svn_ndt_impl.hpp:833-839).
+    """
+    d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
+    offsets = voxel.DIRECT1_OFFSETS if cfg.use_direct1 else voxel.DIRECT7_OFFSETS
+    dtype = points.dtype
+
+    def eval_obj(pose):
+        return objective.score_grad_hess(
+            points, mask, pose, gmap, d1, d2, offsets, cfg.hess_lambda
+        )
+
+    def cond(state):
+        pose, it, converged, *_ = state
+        return (it < cfg.max_iterations) & (~converged)
+
+    def body(state):
+        pose, it, _converged, _score, _hess, _nc = state
+        obj = eval_obj(pose)
+        step = jnp.linalg.solve(obj.hess, -obj.grad)
+        step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
+        norm = jnp.linalg.norm(step)
+        scale = jnp.where(
+            norm > cfg.max_step_norm, cfg.max_step_norm / jnp.maximum(norm, 1e-30), 1.0
+        )
+        step = (cfg.step_size * scale) * step
+        new_pose = se3.retract(pose, step.astype(dtype))
+        converged = jnp.linalg.norm(step) < cfg.trans_eps
+        return (new_pose, it + 1, converged, obj.score, obj.hess, obj.n_contrib)
+
+    zero6 = jnp.zeros((6, 6), dtype=dtype)
+    init_state = (
+        init_pose,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(0.0, dtype),
+        zero6,
+        jnp.asarray(0, jnp.int32),
+    )
+    pose, iters, converged, _, _, _ = jax.lax.while_loop(cond, body, init_state)
+    # Final evaluation at the converged pose (score/Hessian for the caller).
+    obj = eval_obj(pose)
+    return NewtonResult(pose, obj.hess, obj.score, iters, converged, obj.n_contrib)

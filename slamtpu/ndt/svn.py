@@ -1,0 +1,157 @@
+"""Stein-Variational-Newton NDT registration: pose posterior on TPU.
+
+Re-design of ``svn_ndt::SvnNormalDistributionsTransform::align``
+(/root/reference/extern/svn_ndt/include/svn_ndt_impl.hpp:674-964). The K
+particles become a batch axis handled by ``jax.vmap`` — the reference's
+OpenMP stage-1/stage-2 fan-outs collapse into batched einsums:
+
+  stage 1: vmap of the fused NDT objective over K particle poses
+  stage 2: K x K SE(3) RBF kernel matrix in tangent space
+           (svn_ndt_impl.hpp:213-244), kernel-averaged force phi* and
+           PSD-regularized H~, batched 6x6 solves
+  stage 3: batched retract with step size epsilon
+
+One difference by design: particle gradients/Hessians are computed directly
+in the GTSAM tangent at each particle (right perturbation), so no
+NDT<->GTSAM permutation matrix is needed (the reference permutes Euler-space
+derivatives at svn_ndt_impl.hpp:731-736,800-805, which is only first-order
+correct). Convergence and the posterior mean/covariance finalization follow
+the reference exactly (:862-949): tangent-space mean at the prior, sample
+covariance of Logmaps at the final mean, eigenvalue floor 1e-9.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import linalg, se3
+from ..core.se3 import Pose3
+from ..mapping import voxel
+from ..mapping.gaussian_map import GaussianMap
+from . import objective
+from .constants import gauss_constants
+
+# Particle initialization sigmas around the prior, GTSAM tangent order
+# [omega_x, omega_y, omega_z, v_x, v_y, v_z] (svn_ndt_impl.hpp:710-716).
+INIT_SIGMAS = (0.01, 0.01, 0.02, 0.05, 0.05, 0.05)
+
+
+class SvnConfig(NamedTuple):
+    resolution: float = 1.0
+    outlier_ratio: float = 0.55
+    num_particles: int = 20
+    max_iterations: int = 100
+    kernel_h: float = 5.0
+    step_size: float = 0.05
+    stop_thresh: float = 1e-4
+    use_direct1: bool = False
+    hess_lambda: float = 1e-6  # per-particle NDT Hessian Tikhonov (":650")
+    svn_hess_lambda: float = 1e-6  # H~ regularization (":819")
+    cov_eig_floor: float = 1e-9  # final covariance floor (":931")
+
+
+class SvnResult(NamedTuple):
+    pose: Pose3  # posterior mean
+    covariance: jax.Array  # (6, 6) posterior covariance in the tangent at pose
+    iterations: jax.Array  # () int32
+    converged: jax.Array  # () bool
+    particles: Pose3  # (K,) final particle poses
+
+
+def _pairwise_kernel(particles: Pose3, kernel_h: float):
+    """K x K RBF kernel and its gradient in SE(3) tangent space.
+
+    k[l, k] = exp(-||Log(T_l^-1 T_k)||^2 / h);
+    grad[l, k] = k[l,k] * (-2/h) * Log(T_l^-1 T_k).
+    """
+    inv = se3.inverse(particles)
+    rel = se3.compose(
+        Pose3(inv.rot[:, None], inv.trans[:, None]),
+        Pose3(particles.rot[None, :], particles.trans[None, :]),
+    )
+    diff = se3.logmap(rel)  # (K, K, 6)
+    sq = jnp.sum(diff * diff, axis=-1)
+    kval = jnp.exp(-sq / kernel_h)
+    kgrad = kval[..., None] * (-2.0 / kernel_h) * diff
+    return kval, kgrad
+
+
+def svn_align(
+    points: jax.Array,
+    mask: jax.Array,
+    gmap: GaussianMap,
+    prior: Pose3,
+    rng_key: jax.Array,
+    cfg: SvnConfig = SvnConfig(),
+) -> SvnResult:
+    """SVN-NDT alignment returning a pose posterior (mean + 6x6 covariance)."""
+    d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
+    offsets = voxel.DIRECT1_OFFSETS if cfg.use_direct1 else voxel.DIRECT7_OFFSETS
+    dtype = points.dtype
+    K = cfg.num_particles
+    I6 = jnp.eye(6, dtype=dtype)
+
+    sigmas = jnp.asarray(INIT_SIGMAS, dtype=dtype)
+    xi0 = sigmas * jax.random.normal(rng_key, (K, 6), dtype=dtype)
+    prior_b = Pose3(
+        jnp.broadcast_to(prior.rot, (K, 3, 3)), jnp.broadcast_to(prior.trans, (K, 3))
+    )
+    particles0 = se3.retract(prior_b, xi0)
+
+    def eval_particle(pose):
+        obj = objective.score_grad_hess(
+            points, mask, pose, gmap, d1, d2, offsets, cfg.hess_lambda
+        )
+        g = jnp.where(jnp.all(jnp.isfinite(obj.grad)), obj.grad, jnp.zeros_like(obj.grad))
+        H = jnp.where(jnp.all(jnp.isfinite(obj.hess)), obj.hess, I6)
+        return g, H
+
+    def mean_pose_of(particles):
+        xi = se3.local(prior_b, particles)  # (K, 6) tangent at prior
+        return se3.retract(prior, jnp.mean(xi, axis=0))
+
+    def cond(state):
+        _particles, _mean, it, converged = state
+        return (it < cfg.max_iterations) & (~converged)
+
+    def body(state):
+        particles, mean_last, it, _converged = state
+        # Stage 1: NDT derivatives per particle (batched over K).
+        grads, hessians = jax.vmap(eval_particle)(particles)  # (K,6), (K,6,6)
+        # Stage 2: Stein-variational Newton update.
+        kval, kgrad = _pairwise_kernel(particles, cfg.kernel_h)  # (K,K), (K,K,6)
+        phi = (jnp.einsum("lk,la->ka", kval, grads) + jnp.sum(kgrad, axis=0)) / K
+        Ht = (
+            jnp.einsum("lk,lab->kab", kval * kval, hessians)
+            + jnp.einsum("lka,lkb->kab", kgrad, kgrad)
+        ) / K
+        Ht = Ht + cfg.svn_hess_lambda * I6
+        updates = jnp.linalg.solve(Ht, -phi[..., None])[..., 0]  # (K, 6)
+        updates = jnp.where(
+            jnp.all(jnp.isfinite(updates), axis=-1, keepdims=True), updates, 0.0
+        )
+        # Stage 3: retract particles.
+        particles = se3.retract(particles, cfg.step_size * updates)
+        mean_now = mean_pose_of(particles)
+        delta = jnp.linalg.norm(se3.local(mean_last, mean_now))
+        return particles, mean_now, it + 1, delta < cfg.stop_thresh
+
+    state0 = (particles0, prior, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    particles, mean_pose, iters, converged = jax.lax.while_loop(cond, body, state0)
+
+    # Posterior covariance: sample covariance of tangents at the final mean
+    # (svn_ndt_impl.hpp:903-949), eigenvalue-floored.
+    mean_b = Pose3(
+        jnp.broadcast_to(mean_pose.rot, (K, 3, 3)),
+        jnp.broadcast_to(mean_pose.trans, (K, 3)),
+    )
+    tangents = se3.local(mean_b, particles)  # (K, 6)
+    if K > 1:
+        centered = tangents - jnp.mean(tangents, axis=0, keepdims=True)
+        cov = centered.T @ centered / (K - 1)
+    else:
+        cov = jnp.diag(1e-6 * sigmas**2)
+    cov = linalg.eig_floor_psd(cov, cfg.cov_eig_floor)
+    return SvnResult(mean_pose, cov, iters, converged, particles)

@@ -1,0 +1,273 @@
+"""Golden-packet tests for the Ouster decoder + device projection.
+
+Packets are synthesized byte-for-byte per the wire layouts in
+/root/reference/src/lidarcallback.cpp:632-891 (RNG19) and :382-630 (LEGACY);
+decoded output is checked against an independent scalar oracle.
+"""
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+
+from slamtpu.lidar import (
+    FrameAssembler,
+    LidarParams,
+    ProjectionFilters,
+    build_luts,
+    filters_from_params,
+    packet_size,
+    parse_packet,
+    project_frame,
+    synthetic_os2_metadata,
+)
+
+RNG = np.random.default_rng(99)
+
+
+def make_meta(profile="RNG19_RFL8_SIG16_NIR16", cols=64, pix=16, cpp=4):
+    return synthetic_os2_metadata(
+        columns_per_frame=cols,
+        pixels_per_column=pix,
+        columns_per_packet=cpp,
+        udp_profile=profile,
+    )
+
+
+def build_rng19_packet(meta, frame_id, m_ids, ts_ns, ranges_mm, refl, signal, nir,
+                       col_status=None):
+    """Hand-built RNG19 packet (32B header | cols x (12B hdr + pix x 12B) | 32B footer)."""
+    pix = meta.pixels_per_column
+    col_status = [1] * len(m_ids) if col_status is None else col_status
+    out = bytearray()
+    out += struct.pack("<HH", 0x0001, frame_id) + bytes(28)
+    for c, m_id in enumerate(m_ids):
+        out += struct.pack("<QHBx", ts_ns[c], m_id, col_status[c])
+        for ch in range(pix):
+            r = int(ranges_mm[c][ch]) & 0x7FFFF
+            out += struct.pack("<BBBxBxHHH", r & 0xFF, (r >> 8) & 0xFF, (r >> 16) & 0xFF,
+                               int(refl[c][ch]), int(signal[c][ch]), int(nir[c][ch]), 0)
+    out += bytes(32)
+    assert len(out) == packet_size(meta)
+    return bytes(out)
+
+
+def build_legacy_packet(meta, frame_ids, m_ids, ts_ns, ranges_mm, refl, signal, nir,
+                        block_status=None):
+    """LEGACY packet: cols x (16B hdr + pix x 12B + 4B status)."""
+    pix = meta.pixels_per_column
+    block_status = [0xFFFFFFFF] * len(m_ids) if block_status is None else block_status
+    out = bytearray()
+    for c, m_id in enumerate(m_ids):
+        out += struct.pack("<QHH", ts_ns[c], m_id, frame_ids[c]) + bytes(4)
+        for ch in range(pix):
+            r = int(ranges_mm[c][ch]) & 0xFFFFF
+            out += struct.pack("<IBxHHH", r, int(refl[c][ch]), int(signal[c][ch]),
+                               int(nir[c][ch]), 0)
+        out += struct.pack("<I", block_status[c])
+    assert len(out) == packet_size(meta)
+    return bytes(out)
+
+
+def random_fields(meta, n_cols):
+    pix = meta.pixels_per_column
+    return (
+        RNG.integers(500, 200000, size=(n_cols, pix)),
+        RNG.integers(0, 255, size=(n_cols, pix)),
+        RNG.integers(0, 65535, size=(n_cols, pix)),
+        RNG.integers(0, 65535, size=(n_cols, pix)),
+    )
+
+
+class TestParse:
+    def test_rng19_roundtrip(self):
+        meta = make_meta()
+        params = LidarParams(channel_stride=2)
+        luts = build_luts(meta, params)
+        ranges, refl, sig, nir = random_fields(meta, 4)
+        ts = [10_000_000_000 + i * 100_000 for i in range(4)]
+        pkt = build_rng19_packet(meta, 7, [0, 1, 2, 3], ts, ranges, refl, sig, nir)
+        pc = parse_packet(pkt, meta, luts)
+        assert pc is not None
+        np.testing.assert_array_equal(pc.m_ids, [0, 1, 2, 3])
+        assert pc.col_valid.all()
+        sub = luts.subset_c_ids
+        np.testing.assert_allclose(
+            pc.ranges_m, ranges[:, sub].astype(np.float32) * 1e-3, rtol=1e-7
+        )
+        np.testing.assert_array_equal(pc.reflectivity, refl[:, sub].astype(np.uint8))
+        np.testing.assert_array_equal(pc.signal, sig[:, sub].astype(np.uint16))
+        np.testing.assert_array_equal(pc.nir, nir[:, sub].astype(np.uint16))
+        np.testing.assert_allclose(pc.timestamps_s, np.asarray(ts) * 1e-9, rtol=0, atol=1e-12)
+
+    def test_rng19_range_is_19bit(self):
+        meta = make_meta(pix=4, cpp=1)
+        luts = build_luts(meta, LidarParams())
+        ranges = np.full((1, 4), 0x7FFFF + 1000)  # overflows 19 bits
+        pkt = build_rng19_packet(meta, 1, [0], [0], ranges, *(np.zeros((1, 4)),) * 3)
+        pc = parse_packet(pkt, meta, luts)
+        np.testing.assert_allclose(
+            pc.ranges_m[0], ((0x7FFFF + 1000) & 0x7FFFF) * 1e-3 * np.ones(4), rtol=1e-7
+        )
+
+    def test_bad_type_and_size_rejected(self):
+        meta = make_meta()
+        luts = build_luts(meta, LidarParams())
+        assert parse_packet(b"\x00" * 10, meta, luts) is None
+        ranges, refl, sig, nir = random_fields(meta, 4)
+        pkt = bytearray(build_rng19_packet(meta, 1, [0, 1, 2, 3], [0] * 4, ranges, refl, sig, nir))
+        pkt[0] = 0x55  # wrong packet type
+        assert parse_packet(bytes(pkt), meta, luts) is None
+
+    def test_invalid_column_status_masked(self):
+        meta = make_meta()
+        luts = build_luts(meta, LidarParams())
+        ranges, refl, sig, nir = random_fields(meta, 4)
+        pkt = build_rng19_packet(
+            meta, 1, [0, 1, 2, 3], [0] * 4, ranges, refl, sig, nir, col_status=[1, 0, 1, 0]
+        )
+        pc = parse_packet(pkt, meta, luts)
+        np.testing.assert_array_equal(pc.col_valid, [True, False, True, False])
+
+    def test_legacy_roundtrip(self):
+        meta = make_meta(profile="LEGACY")
+        luts = build_luts(meta, LidarParams(channel_stride=4))
+        ranges, refl, sig, nir = random_fields(meta, 4)
+        ts = [5_000_000_000 + i for i in range(4)]
+        pkt = build_legacy_packet(meta, [3] * 4, [4, 5, 6, 7], ts, ranges, refl, sig, nir,
+                                  block_status=[0xFFFFFFFF, 0, 0xFFFFFFFF, 0xFFFFFFFF])
+        pc = parse_packet(pkt, meta, luts)
+        sub = luts.subset_c_ids
+        np.testing.assert_array_equal(pc.col_valid, [True, False, True, True])
+        np.testing.assert_allclose(
+            pc.ranges_m, ranges[:, sub].astype(np.float32) * 1e-3, rtol=1e-7
+        )
+
+    def test_timestamp_fold_mod_86400(self):
+        meta = make_meta(pix=4, cpp=1)
+        luts = build_luts(meta, LidarParams())
+        two_days_ns = int(2.5 * 86400 * 1e9)
+        pkt = build_rng19_packet(meta, 1, [0], [two_days_ns], np.ones((1, 4)) * 1000,
+                                 *(np.zeros((1, 4)),) * 3)
+        pc = parse_packet(pkt, meta, luts)
+        np.testing.assert_allclose(pc.timestamps_s[0], 0.5 * 86400, atol=1e-6)
+
+
+class TestAssembler:
+    def test_frame_boundary_on_id_change(self):
+        meta = make_meta(cols=8, pix=4, cpp=4)
+        luts = build_luts(meta, LidarParams())
+        asm = FrameAssembler(meta, luts)
+        ranges, refl, sig, nir = random_fields(meta, 4)
+        base = 1_000_000_000
+        p1 = build_rng19_packet(meta, 1, [0, 1, 2, 3], [base + i * 100 for i in range(4)],
+                                ranges, refl, sig, nir)
+        p2 = build_rng19_packet(meta, 1, [4, 5, 6, 7], [base + 400 + i * 100 for i in range(4)],
+                                ranges, refl, sig, nir)
+        p3 = build_rng19_packet(meta, 2, [0, 1, 2, 3], [base + 800 + i * 100 for i in range(4)],
+                                ranges, refl, sig, nir)
+        assert asm.push_packet(p1) is None
+        assert asm.push_packet(p2) is None
+        frame = asm.push_packet(p3)
+        assert frame is not None and frame.frame_id == 1
+        assert frame.col_valid.all()
+        assert frame.num_columns == 8
+        np.testing.assert_allclose(frame.timestamp, base * 1e-9, atol=1e-12)
+        np.testing.assert_allclose(frame.timestamp_end, (base + 700) * 1e-9, atol=1e-12)
+        # second frame completes via flush
+        f2 = asm.flush()
+        assert f2 is not None and f2.frame_id == 2 and f2.num_columns == 4
+
+    def test_legacy_mid_packet_boundary(self):
+        meta = make_meta(profile="LEGACY", cols=8, pix=4, cpp=4)
+        luts = build_luts(meta, LidarParams())
+        asm = FrameAssembler(meta, luts)
+        ranges, refl, sig, nir = random_fields(meta, 4)
+        pkt = build_legacy_packet(meta, [1, 1, 2, 2], [6, 7, 0, 1], [100] * 4,
+                                  ranges, refl, sig, nir)
+        frame = asm.push_packet(pkt)
+        assert frame is not None and frame.frame_id == 1 and frame.num_columns == 2
+
+
+class TestProjection:
+    def test_points_match_scalar_oracle(self):
+        meta = make_meta(cols=16, pix=8, cpp=4)
+        params = LidarParams(
+            channel_stride=2,
+            range_filter=(0.3, 150.0),
+            z_filter=(-5.0, 5.0),
+            reflectivity_threshold=200,
+            vehicle_box_center=np.zeros(3),
+            vehicle_box_dimensions=np.array([1.0, 1.0, 1.0]),
+        )
+        luts = build_luts(meta, params)
+        asm = FrameAssembler(meta, luts)
+        n_pk = 4
+        frames = []
+        for k in range(2):  # two frames so the first completes
+            for p in range(n_pk):
+                ranges, refl, sig, nir = random_fields(meta, 4)
+                ranges = np.where(RNG.random(ranges.shape) < 0.2, 0, ranges)  # no-returns
+                pkt = build_rng19_packet(
+                    meta, k, [p * 4 + i for i in range(4)],
+                    [int(1e9 + (k * 16 + p * 4 + i) * 1e5) for i in range(4)],
+                    ranges, refl, sig, nir,
+                )
+                out = asm.push_packet(pkt)
+                if out is not None:
+                    frames.append(out)
+        assert len(frames) == 1
+        fr = frames[0]
+        filters = filters_from_params(params)
+        sb = project_frame(
+            jnp.asarray(fr.ranges_m),
+            jnp.asarray(fr.reflectivity),
+            jnp.asarray(fr.col_timestamp_s),
+            jnp.asarray(fr.col_valid),
+            jnp.asarray(luts.direction),
+            jnp.asarray(luts.offset),
+            filters,
+        )
+        pts = np.asarray(sb.points).reshape(16, luts.subset_channels, 3)
+        mask = np.asarray(sb.mask).reshape(16, luts.subset_channels)
+        # scalar oracle per reference decode semantics
+        n_checked = 0
+        for m_id in range(16):
+            for s, c_id in enumerate(luts.subset_c_ids):
+                r = float(fr.ranges_m[m_id, s])
+                expect = r * luts.direction[m_id, s] + luts.offset[m_id]
+                np.testing.assert_allclose(pts[m_id, s], expect, rtol=1e-6, atol=1e-6)
+                keep = (
+                    fr.col_valid[m_id]
+                    and params.range_filter[0] <= r <= params.range_filter[1]
+                    and r > 0
+                )
+                if keep:
+                    in_box = np.all(np.abs(expect) <= 0.5)
+                    z_ok = params.z_filter[0] <= expect[2] <= params.z_filter[1]
+                    refl_ok = fr.reflectivity[m_id, s] >= params.reflectivity_threshold
+                    keep = (not in_box) and (z_ok or refl_ok)
+                assert bool(mask[m_id, s]) == bool(keep), (m_id, s)
+                n_checked += 1
+        assert int(sb.num_points) == mask.sum()
+        assert n_checked == 16 * luts.subset_channels
+
+    def test_alpha_normalized(self):
+        meta = make_meta(cols=8, pix=4, cpp=4)
+        params = LidarParams()
+        luts = build_luts(meta, params)
+        ranges = np.ones((8, 4), np.float32)
+        refl = np.zeros((8, 4), np.uint8)
+        ts = np.linspace(100.0, 100.1, 8)
+        sb = project_frame(
+            jnp.asarray(ranges),
+            jnp.asarray(refl),
+            jnp.asarray(ts),
+            jnp.ones(8, bool),
+            jnp.asarray(luts.direction),
+            jnp.asarray(luts.offset),
+            ProjectionFilters(),
+        )
+        alpha = np.asarray(sb.alpha).reshape(8, 4)
+        np.testing.assert_allclose(alpha[0], 0.0, atol=1e-6)
+        np.testing.assert_allclose(alpha[-1], 1.0, atol=1e-6)
+        assert (np.diff(alpha[:, 0]) > 0).all()

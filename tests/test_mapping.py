@@ -1,0 +1,132 @@
+"""Parity tests for the sort/segment-sum Gaussian voxel map vs the numpy oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slamtpu.mapping import gaussian_map, voxel
+from tests.oracles import oracle_build_map
+
+RNG = np.random.default_rng(7)
+
+
+def make_cloud(n=5000):
+    centers = RNG.uniform(0, 20, size=(40, 3))
+    pts = (centers[RNG.integers(0, 40, n)] + RNG.normal(scale=0.3, size=(n, 3))).astype(
+        np.float64
+    )
+    mask = np.ones(n, dtype=bool)
+    mask[-100:] = False  # padding tail
+    pts[-50:] = np.nan  # some NaNs inside padding and some real NaNs
+    mask[-75:-50] = True
+    pts[-75:-60] = np.inf
+    return pts, mask
+
+
+class TestVoxelKeys:
+    def test_pack_unpack(self):
+        coords = RNG.integers(0, voxel.GRID_DIM, size=(1000, 3)).astype(np.int32)
+        keys = voxel.pack(jnp.asarray(coords))
+        back = np.asarray(voxel.unpack(keys))
+        np.testing.assert_array_equal(back, coords)
+
+    def test_pack_ordering_lexicographic(self):
+        coords = RNG.integers(0, voxel.GRID_DIM, size=(500, 3)).astype(np.int32)
+        keys = np.asarray(voxel.pack(jnp.asarray(coords)))
+        order_keys = np.argsort(keys, kind="stable")
+        order_lex = np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+        np.testing.assert_array_equal(np.sort(keys[order_keys]), np.sort(keys[order_lex]))
+
+    def test_out_of_range_invalid(self):
+        coords = jnp.asarray([[-1, 0, 0], [0, voxel.GRID_DIM, 0], [5, 5, 5]], jnp.int32)
+        keys = np.asarray(voxel.pack(coords))
+        assert keys[0] == voxel.INVALID_KEY
+        assert keys[1] == voxel.INVALID_KEY
+        assert keys[2] != voxel.INVALID_KEY
+
+    def test_lookup(self):
+        keys = jnp.asarray(np.sort(RNG.choice(10**6, size=64, replace=False)).astype(np.int32))
+        slot, found = voxel.lookup(keys, keys)
+        np.testing.assert_array_equal(np.asarray(slot), np.arange(64))
+        assert np.asarray(found).all()
+        missing = jnp.asarray([10**6 + 5, voxel.INVALID_KEY], jnp.int32)
+        _, found2 = voxel.lookup(keys, missing)
+        assert not np.asarray(found2).any()
+
+
+class TestGaussianMap:
+    def test_parity_vs_oracle(self):
+        pts, mask = make_cloud()
+        res = 1.0
+        origin = np.floor(pts[mask & np.isfinite(pts).all(-1)].min(0)) - 4
+        gmap = jax.jit(
+            gaussian_map.build_map, static_argnames=("capacity", "min_points_per_voxel")
+        )(jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(origin), res, capacity=4096)
+        omap = oracle_build_map(pts, mask, origin, res)
+
+        keys = np.asarray(gmap.keys)
+        valid = np.asarray(gmap.valid)
+        # every oracle voxel must be present, valid, and match
+        mean = np.asarray(gmap.mean)
+        cov = np.asarray(gmap.cov)
+        icov = np.asarray(gmap.icov)
+        count = np.asarray(gmap.count)
+        n_checked = 0
+        for c, (n_o, mean_o, cov_o, icov_o) in omap.items():
+            key = (c[0] * voxel.GRID_DIM + c[1]) * voxel.GRID_DIM + c[2]
+            i = np.searchsorted(keys, key)
+            assert keys[i] == key, f"voxel {c} missing"
+            assert valid[i], f"voxel {c} invalid"
+            assert count[i] == n_o
+            np.testing.assert_allclose(mean[i], mean_o, atol=1e-9)
+            np.testing.assert_allclose(cov[i], cov_o, atol=1e-9)
+            np.testing.assert_allclose(icov[i], icov_o, rtol=1e-6, atol=1e-8)
+            n_checked += 1
+        assert n_checked > 20
+        # no spurious valid voxels
+        oracle_keys = {
+            (c[0] * voxel.GRID_DIM + c[1]) * voxel.GRID_DIM + c[2] for c in omap
+        }
+        for i in np.where(valid)[0]:
+            assert int(keys[i]) in oracle_keys
+
+    def test_keys_sorted_with_padding_at_end(self):
+        pts, mask = make_cloud(2000)
+        origin = np.zeros(3) - 50
+        gmap = gaussian_map.build_map(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(origin), 1.0, capacity=2048
+        )
+        keys = np.asarray(gmap.keys)
+        assert (np.diff(keys.astype(np.int64)) >= 0).all()
+        occupied = keys != voxel.INVALID_KEY
+        assert not occupied[~occupied.argmin() :].any() or occupied.all() or True
+        # all occupied slots come before all padding slots
+        first_pad = np.argmax(keys == voxel.INVALID_KEY) if (keys == voxel.INVALID_KEY).any() else len(keys)
+        assert (keys[:first_pad] != voxel.INVALID_KEY).all()
+        assert (keys[first_pad:] == voxel.INVALID_KEY).all()
+
+    def test_merge_stats_equals_joint_build(self):
+        pts, mask = make_cloud(3000)
+        origin = jnp.asarray(np.zeros(3) - 50.0)
+        res = jnp.asarray(1.0)
+        a = gaussian_map.stats_from_points(
+            jnp.asarray(pts[:1500]), jnp.asarray(mask[:1500]), origin, res, 2048
+        )
+        b = gaussian_map.stats_from_points(
+            jnp.asarray(pts[1500:]), jnp.asarray(mask[1500:]), origin, res, 2048
+        )
+        merged = gaussian_map.merge_stats(a, b, 2048)
+        joint = gaussian_map.stats_from_points(
+            jnp.asarray(pts), jnp.asarray(mask), origin, res, 2048
+        )
+        np.testing.assert_array_equal(np.asarray(merged.keys), np.asarray(joint.keys))
+        np.testing.assert_array_equal(np.asarray(merged.n), np.asarray(joint.n))
+        np.testing.assert_allclose(np.asarray(merged.sx), np.asarray(joint.sx), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(merged.sxx), np.asarray(joint.sxx), atol=1e-8)
+
+    def test_overflow_reported(self):
+        pts = RNG.uniform(0, 100, size=(4000, 3))
+        mask = np.ones(4000, bool)
+        stats = gaussian_map.stats_from_points(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(np.zeros(3) - 1.0), jnp.asarray(1.0), 64
+        )
+        assert int(stats.overflow) > 0
