@@ -1,0 +1,101 @@
+"""Shared app plumbing: replay-driven ingest and INS pose seeding.
+
+Each app mirrors one reference executable (SURVEY.md section 2.5) but runs
+from a replay file (or live UDP via slamtpu.runtime.udp): packets are decoded
+host-side, synchronized, projected on device, and handed to the app's
+per-keyframe step.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3, so3
+from ..core.se3 import Pose3
+from ..ins import geodesy
+from ..ins.anpp import AnppDecoder, NavFrame
+from ..lidar.ouster import FrameAssembler, build_luts
+from ..lidar.project import ScanBuffer, filters_from_params, project_frame
+from ..runtime.config import PipelineConfig
+from ..runtime.replay import STREAM_COMPASS, STREAM_LIDAR, read_replay
+from ..runtime.sync import SyncedFrame, Synchronizer
+
+log = logging.getLogger("slamtpu.apps")
+
+
+def ins_pose_ned(nav: NavFrame, ref_lla: np.ndarray) -> Pose3:
+    """NED pose of the body from a NavFrame: position via lla2ned around the
+    reference origin, attitude from the fused quaternion (the INS seed used
+    throughout the reference apps, e.g. run/pipeline_lo_svn.cpp:359-376)."""
+    ned = np.asarray(
+        geodesy.lla2ned(jnp.asarray(nav.lla), jnp.asarray(ref_lla))
+    )
+    rot = np.asarray(so3.quat_to_rot(jnp.asarray(nav.quat)))
+    return Pose3(jnp.asarray(rot, jnp.float32), jnp.asarray(ned, jnp.float32))
+
+
+@dataclasses.dataclass
+class IngestPipeline:
+    """Replay/UDP packets -> SyncedFrames -> padded device ScanBuffers."""
+
+    cfg: PipelineConfig
+
+    def __post_init__(self):
+        self.luts = build_luts(self.cfg.meta, self.cfg.lidar)
+        self.assembler = FrameAssembler(self.cfg.meta, self.luts)
+        self.anpp = AnppDecoder()
+        self.sync = Synchronizer(self.cfg.nav_window)
+        self.filters = filters_from_params(self.cfg.lidar)
+        self._project = jax.jit(project_frame, static_argnames=("filters",))
+        self._dir = jnp.asarray(self.luts.direction)
+        self._off = jnp.asarray(self.luts.offset)
+
+    def synced_frames(self, replay_path: str) -> Iterator[SyncedFrame]:
+        for stream, _ts, payload in read_replay(replay_path):
+            if stream == STREAM_LIDAR:
+                frame = self.assembler.push_packet(payload)
+                if frame is not None:
+                    yield from self.sync.push_scan(frame)
+            elif stream == STREAM_COMPASS:
+                nav = self.anpp.push_packet(payload)
+                if nav is not None:
+                    yield from self.sync.push_nav(nav)
+        tail = self.assembler.flush()
+        if tail is not None:
+            yield from self.sync.push_scan(tail)
+
+    def project(self, synced: SyncedFrame) -> ScanBuffer:
+        fr = synced.scan
+        return self._project(
+            jnp.asarray(fr.ranges_m),
+            jnp.asarray(fr.reflectivity),
+            jnp.asarray(fr.col_timestamp_s.astype(np.float32)),
+            jnp.asarray(fr.col_valid),
+            self._dir,
+            self._off,
+            self.filters,
+        )
+
+
+@dataclasses.dataclass
+class TrajectoryEntry:
+    timestamp: float
+    frame_id: int
+    pose: Pose3  # published pose (NED)
+    ins_pose: Pose3
+    covariance: Optional[np.ndarray] = None
+
+
+def ate_rmse(traj_a: List[Pose3], traj_b: List[Pose3]) -> float:
+    """Absolute trajectory error (translation RMSE), no alignment."""
+    assert len(traj_a) == len(traj_b) and traj_a
+    d = [
+        np.linalg.norm(np.asarray(a.trans) - np.asarray(b.trans))
+        for a, b in zip(traj_a, traj_b)
+    ]
+    return float(np.sqrt(np.mean(np.square(d))))

@@ -1,0 +1,93 @@
+"""INS-only georeferenced mapping + NDT map distribution export (the
+reference ``pipeline_ins_map_distribution``,
+/root/reference/run/pipeline_ins_map_distribution.cpp).
+
+Accumulates INS-posed clouds into the incremental voxel sufficient-statistics
+map (instead of the reference's accumulate-everything-then-downsample,
+:281-341 — associative stats merge gives the same Gaussians stream-wise with
+bounded memory), then finalizes and exports ellipsoid/voxel/summary text
+files (:366-378 -> pipeline.hpp:163-274)."""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3
+from ..mapping import gaussian_map
+from ..runtime.config import PipelineConfig
+from ..runtime.export import extract_ndt_data, write_ndt_data, write_ply
+from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned
+
+log = logging.getLogger("slamtpu.ins_map")
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _accumulate(stats, points, mask, pose, capacity: int):
+    world = se3.transform_points(pose, points)
+    new = gaussian_map.stats_from_points(
+        world, mask, stats.origin, stats.resolution, capacity
+    )
+    return gaussian_map.merge_stats(stats, new, capacity)
+
+
+@dataclasses.dataclass
+class InsMapApp:
+    cfg: PipelineConfig
+    resolution: Optional[float] = None  # default: register.map_voxel_size
+
+    def __post_init__(self):
+        self.ingest = IngestPipeline(self.cfg)
+        self.res = self.resolution or self.cfg.register.map_voxel_size
+        self.trajectory: List[TrajectoryEntry] = []
+        self._ref_lla = None
+        self._stats = None
+
+    def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
+        for synced in self.ingest.synced_frames(replay_path):
+            self.process(synced)
+            if len(self.trajectory) >= max_keyframes:
+                break
+        return self.trajectory
+
+    def process(self, synced):
+        scan = self.ingest.project(synced)
+        nav = synced.ins[-1]
+        if self._ref_lla is None:
+            self._ref_lla = np.asarray(nav.lla)
+        pose = ins_pose_ned(nav, self._ref_lla)
+        if self._stats is None:
+            grid_half = 512.0 * self.res
+            origin = jnp.asarray(np.asarray(pose.trans) - grid_half, jnp.float32)
+            self._stats = gaussian_map.stats_from_points(
+                jnp.zeros((1, 3), jnp.float32),
+                jnp.zeros(1, bool),
+                origin,
+                jnp.asarray(self.res, jnp.float32),
+                self.cfg.register.map_capacity,
+            )
+        self._stats = _accumulate(
+            self._stats, scan.points, scan.mask, pose, self.cfg.register.map_capacity
+        )
+        self.trajectory.append(
+            TrajectoryEntry(synced.t_end, synced.scan.frame_id, pose, pose)
+        )
+
+    def finalize_and_export(self, prefix: str, min_points_per_voxel: int = 6):
+        gmap = gaussian_map.finalize(self._stats, min_points_per_voxel)
+        data = extract_ndt_data(gmap)
+        write_ndt_data(data, prefix)
+        valid = np.asarray(gmap.valid)
+        write_ply(np.asarray(gmap.mean)[valid], f"{prefix}_means.ply")
+        log.info(
+            "exported %d valid voxels (%d points, overflow=%d)",
+            valid.sum(),
+            int(np.asarray(self._stats.n).sum()),
+            int(self._stats.overflow),
+        )
+        return gmap

@@ -1,0 +1,184 @@
+"""SVN-NDT LiDAR odometry (the reference's primary pipeline,
+/root/reference/run/pipeline_lo_svn.cpp).
+
+Per keyframe: seed with the INS pose (lla2ned + fused quaternion), build the
+NDT target map from a sliding window of keyframe clouds (the reference ships
+with the window reduced to the last keyframe, :376-387; window size is a
+config knob here), run SVN-NDT to get a pose posterior. The reference
+currently *publishes* the INS pose while evaluating SVN (:388-390) — that
+behavior is the ``publish="ins"`` option; default publishes the SVN mean.
+
+The whole device path (map build + K-particle SVN flow) is one jitted call
+over fixed-shape ring buffers of keyframe clouds.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3
+from ..core.se3 import Pose3
+from ..mapping import gaussian_map
+from ..ndt import SvnConfig, svn_align
+from ..runtime.config import PipelineConfig
+from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
+from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned
+
+log = logging.getLogger("slamtpu.lo_svn")
+
+
+@partial(jax.jit, static_argnames=("svn_cfg", "capacity", "min_points"))
+def _lo_svn_step(
+    kf_points,  # (K, N, 3) world-frame keyframe clouds (ring buffer)
+    kf_mask,  # (K, N)
+    new_points,  # (N, 3) body frame
+    new_mask,  # (N,)
+    prior: Pose3,
+    origin,
+    rng,
+    svn_cfg: SvnConfig,
+    capacity: int,
+    min_points: int,
+):
+    K, N, _ = kf_points.shape
+    gmap = gaussian_map.build_map(
+        kf_points.reshape(K * N, 3),
+        kf_mask.reshape(K * N),
+        origin,
+        svn_cfg.resolution,
+        capacity=capacity,
+        min_points_per_voxel=min_points,
+    )
+    res = svn_align(new_points, new_mask, gmap, prior, rng, svn_cfg)
+    world_pts = se3.transform_points(res.pose, new_points)
+    return res, world_pts, gmap.num_valid()
+
+
+@dataclasses.dataclass
+class LoSvnApp:
+    cfg: PipelineConfig
+    publish: str = "svn"  # "svn" | "ins" (reference parity: "ins")
+    seed: int = 1337
+
+    def __post_init__(self):
+        self.ingest = IngestPipeline(self.cfg)
+        reg = self.cfg.register
+        self.svn_cfg = SvnConfig(
+            resolution=reg.svn_resolution,
+            outlier_ratio=reg.svn_outlier_ratio,
+            num_particles=reg.svn_particles,
+            max_iterations=reg.svn_max_iterations,
+            kernel_h=reg.svn_kernel_h,
+            step_size=reg.svn_step_size,
+            stop_thresh=reg.svn_stop_thresh,
+            use_direct1=reg.search_method == "DIRECT1",
+        )
+        self.trajectory: List[TrajectoryEntry] = []
+        self.stats = StatsArchive()
+        self.timer = StageTimer()
+        self._ref_lla: Optional[np.ndarray] = None
+        self._kf_points = None  # (K, N, 3) ring buffer
+        self._kf_mask = None
+        self._kf_head = 0
+        self._origin = None
+        self._key = jax.random.PRNGKey(self.seed)
+
+    def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
+        for synced in self.ingest.synced_frames(replay_path):
+            self.process(synced)
+            if len(self.trajectory) >= max_keyframes:
+                break
+        return self.trajectory
+
+    def process(self, synced):
+        with self.timer.span("project"):
+            scan = self.ingest.project(synced)
+        nav_end = synced.ins[-1]
+        if self._ref_lla is None:
+            # first keyframe: fix the geodetic reference + map origin
+            self._ref_lla = np.asarray(nav_end.lla)
+        ins_pose = ins_pose_ned(nav_end, self._ref_lla)
+        if self._kf_points is None:
+            K = self.cfg.register.keyframe_window
+            N = scan.points.shape[0]
+            self._kf_points = jnp.zeros((K, N, 3), jnp.float32)
+            self._kf_mask = jnp.zeros((K, N), bool)
+            grid_half = 512.0 * self.svn_cfg.resolution
+            self._origin = jnp.asarray(
+                np.asarray(ins_pose.trans) - grid_half, jnp.float32
+            )
+            world = se3.transform_points(ins_pose, scan.points)
+            self._insert_keyframe(world, scan.mask)
+            self._record(synced, scan, ins_pose, ins_pose, None, 0, True, 0.0)
+            return
+        self._key, sub = jax.random.split(self._key)
+        with self.timer.span("svn_step"):
+            res, world_pts, n_voxels = _lo_svn_step(
+                self._kf_points,
+                self._kf_mask,
+                scan.points,
+                scan.mask,
+                ins_pose,
+                self._origin,
+                sub,
+                self.svn_cfg,
+                self.cfg.register.map_capacity,
+                self.cfg.register.min_points_per_voxel,
+            )
+        published = res.pose if self.publish == "svn" else ins_pose
+        # keyframe cloud stored at the published pose
+        if self.publish != "svn":
+            world_pts = se3.transform_points(published, scan.points)
+        self._insert_keyframe(world_pts, scan.mask)
+        self._record(
+            synced,
+            scan,
+            published,
+            ins_pose,
+            np.asarray(res.covariance),
+            int(res.iterations),
+            bool(res.converged),
+            0.0,
+        )
+        log.info(
+            "kf %d: iters=%d converged=%s voxels=%d",
+            synced.scan.frame_id,
+            int(res.iterations),
+            bool(res.converged),
+            int(n_voxels),
+        )
+
+    def _insert_keyframe(self, world_points, mask):
+        self._kf_points = self._kf_points.at[self._kf_head].set(world_points)
+        self._kf_mask = self._kf_mask.at[self._kf_head].set(mask)
+        self._kf_head = (self._kf_head + 1) % self._kf_points.shape[0]
+
+    def _record(self, synced, scan, pose, ins_pose, cov, iters, converged, score):
+        self.trajectory.append(
+            TrajectoryEntry(
+                timestamp=synced.t_end,
+                frame_id=synced.scan.frame_id,
+                pose=pose,
+                ins_pose=ins_pose,
+                covariance=cov,
+            )
+        )
+        self.stats.add(
+            KeyFrameStats(
+                frame_id=synced.scan.frame_id,
+                timestamp=synced.t_end,
+                num_points=int(scan.num_points),
+                ndt_iterations=iters,
+                converged=converged,
+                score=score,
+                ins_sigma=np.concatenate(
+                    [np.asarray(synced.ins[-1].sigma_rpy), np.asarray(synced.ins[-1].sigma_pos)]
+                ),
+            )
+        )

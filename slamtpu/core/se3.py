@@ -108,6 +108,11 @@ def adjoint(p: Pose3) -> jax.Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def cast(p: Pose3, dtype) -> Pose3:
+    """Cast a pose to a dtype (e.g. f64 smoother state -> f32 NDT path)."""
+    return Pose3(p.rot.astype(dtype), p.trans.astype(dtype))
+
+
 def interpolate(a: Pose3, b: Pose3, t: jax.Array) -> Pose3:
     """Geodesic interpolation a * Exp(t * Log(a^-1 b))."""
     return retract(a, t[..., None] * local(a, b))

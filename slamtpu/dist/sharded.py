@@ -1,0 +1,231 @@
+"""Multi-chip execution: point-axis sharding over a device mesh.
+
+The reference is single-process (SURVEY.md section 2.4: no distributed
+backend). This module is the new capability layer: the NDT math is a sum over
+point-voxel pairs, so it shards cleanly along the point axis —
+
+- **Map construction**: each chip computes voxel sufficient statistics for
+  its point shard (sort + segment-sum, slamtpu.mapping); per-voxel stats are
+  merged across chips by an ``all_gather`` of the fixed-capacity stat buffers
+  followed by an associative merge (sums of (N, Sx, Sxx) commute).
+- **Registration**: the Gaussian map is replicated; each chip evaluates the
+  fused NDT objective on its point shard; (score, grad, Hessian) are combined
+  with ``psum`` over ICI (a 43-float all-reduce per Newton iteration); the
+  6x6 solve and retract run replicated.
+
+Everything is expressed with ``shard_map`` over a named mesh, so the same
+code runs on one chip, a v5p pod slice, or the CPU test mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.8 (check_vma kwarg)
+
+    def shard_map(f=None, *, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=check_rep
+        )
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..core import se3
+from ..core.se3 import Pose3
+from ..mapping import gaussian_map, voxel
+from ..mapping.gaussian_map import GaussianMap, VoxelStats
+from ..ndt import gauss_constants
+from ..ndt import objective as ndt_objective
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def build_map_sharded(
+    mesh: Mesh,
+    points: jax.Array,  # (N, 3), N divisible by mesh size
+    mask: jax.Array,
+    origin: jax.Array,
+    resolution: float,
+    capacity: int,
+    min_points_per_voxel: int = 6,
+    axis_name: str = "data",
+) -> GaussianMap:
+    """Build the Gaussian voxel map from points sharded across the mesh."""
+    n_dev = mesh.shape[axis_name]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P()),
+        out_specs=P(),
+        check_rep=False,  # outputs are replicated via all_gather + merge
+    )
+    def _build(pts, msk, orig):
+        local = gaussian_map.stats_from_points(
+            pts, msk, orig, jnp.asarray(resolution, pts.dtype), capacity
+        )
+        # all-gather the fixed-capacity stat buffers, then associatively merge
+        keys = jax.lax.all_gather(local.keys, axis_name)  # (D, V)
+        n = jax.lax.all_gather(local.n, axis_name)
+        sx = jax.lax.all_gather(local.sx, axis_name)
+        sxx = jax.lax.all_gather(local.sxx, axis_name)
+        ovf = jax.lax.all_gather(local.overflow, axis_name)
+
+        def merge_step(i, acc):
+            other = VoxelStats(
+                keys[i], n[i], sx[i], sxx[i], acc.origin, acc.resolution, ovf[i]
+            )
+            return gaussian_map.merge_stats(acc, other, capacity)
+
+        init = VoxelStats(
+            keys[0], n[0], sx[0], sxx[0], orig,
+            jnp.asarray(resolution, pts.dtype), ovf[0],
+        )
+        merged = jax.lax.fori_loop(1, n_dev, merge_step, init)
+        return gaussian_map.finalize(merged, min_points_per_voxel)
+
+    return _build(points, mask, origin)
+
+
+def newton_align_sharded(
+    mesh: Mesh,
+    points: jax.Array,  # (N, 3) sharded over the point axis
+    mask: jax.Array,
+    gmap: GaussianMap,  # replicated
+    init_pose: Pose3,  # replicated
+    resolution: float = 1.0,
+    outlier_ratio: float = 0.55,
+    max_iterations: int = 30,
+    trans_eps: float = 1e-4,
+    hess_lambda: float = 1e-6,
+    axis_name: str = "data",
+):
+    """Scan-to-map Newton NDT with the objective reduced over the mesh.
+
+    Per iteration each chip computes its shard's (score, grad, hess); one
+    ``psum`` combines them; the replicated 6x6 solve and retract follow.
+    Returns (pose, hessian, score, iterations)."""
+    d1, d2, _ = gauss_constants(resolution, outlier_ratio)
+    offsets = voxel.DIRECT7_OFFSETS
+    dtype = points.dtype
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+    def _align(pts, msk, gmap_rep, pose0):
+        def eval_obj(pose):
+            obj = ndt_objective.score_grad_hess(
+                pts, msk, pose, gmap_rep, d1, d2, offsets, hess_lambda=0.0
+            )
+            score = jax.lax.psum(obj.score, axis_name)
+            grad = jax.lax.psum(obj.grad, axis_name)
+            hess = jax.lax.psum(obj.hess, axis_name) + hess_lambda * jnp.eye(6, dtype=dtype)
+            return score, grad, hess
+
+        def cond(state):
+            _pose, it, converged, *_ = state
+            return (it < max_iterations) & (~converged)
+
+        def body(state):
+            pose, it, _conv, _score, _hess = state
+            score, grad, hess = eval_obj(pose)
+            step = jnp.linalg.solve(hess, -grad)
+            step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
+            norm = jnp.linalg.norm(step)
+            scale = jnp.where(norm > 1.0, 1.0 / jnp.maximum(norm, 1e-30), 1.0)
+            new_pose = se3.retract(pose, (scale * step).astype(dtype))
+            return (new_pose, it + 1, norm * scale < trans_eps, score, hess)
+
+        state0 = (
+            pose0,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            jnp.asarray(0.0, dtype),
+            jnp.zeros((6, 6), dtype),
+        )
+        pose, iters, _conv, score, hess = jax.lax.while_loop(cond, body, state0)
+        return pose, hess, score, iters
+
+    return _align(points, mask, gmap, init_pose)
+
+
+def lo_train_step(
+    mesh: Mesh,
+    points: jax.Array,
+    mask: jax.Array,
+    map_stats: VoxelStats,  # replicated running map sufficient statistics
+    pose_guess: Pose3,
+    resolution: float,
+    capacity: int,
+    max_iterations: int = 20,
+    min_points_per_voxel: int = 6,
+    axis_name: str = "data",
+):
+    """One full LiDAR-odometry step over the mesh: register the (sharded)
+    scan against the current map, then fold the registered scan's voxel
+    statistics back into the map — the incremental-mapping equivalent of the
+    reference's per-keyframe setInputTarget rebuild (run/pipeline_lo_svn.cpp:
+    376-387), but associative and distributed.
+
+    Returns (pose, hessian, score, iterations, new_map_stats)."""
+    gmap = gaussian_map.finalize(map_stats, min_points_per_voxel)
+    pose, hess, score, iters = newton_align_sharded(
+        mesh,
+        points,
+        mask,
+        gmap,
+        pose_guess,
+        resolution=resolution,
+        max_iterations=max_iterations,
+        axis_name=axis_name,
+    )
+
+    n_dev = mesh.shape[axis_name]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def _update_map(pts, msk, pose_rep, stats_rep):
+        world_pts = se3.transform_points(pose_rep, pts)
+        local = gaussian_map.stats_from_points(
+            world_pts, msk, stats_rep.origin, stats_rep.resolution, capacity
+        )
+        keys = jax.lax.all_gather(local.keys, axis_name)
+        n = jax.lax.all_gather(local.n, axis_name)
+        sx = jax.lax.all_gather(local.sx, axis_name)
+        sxx = jax.lax.all_gather(local.sxx, axis_name)
+        ovf = jax.lax.all_gather(local.overflow, axis_name)
+
+        def merge_step(i, acc):
+            other = VoxelStats(
+                keys[i], n[i], sx[i], sxx[i], acc.origin, acc.resolution, ovf[i]
+            )
+            return gaussian_map.merge_stats(acc, other, capacity)
+
+        merged = jax.lax.fori_loop(
+            0,
+            n_dev,
+            merge_step,
+            stats_rep,
+        )
+        return merged
+
+    new_stats = _update_map(points, mask, pose, map_stats)
+    return pose, hess, score, iters, new_stats

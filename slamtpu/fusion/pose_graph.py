@@ -1,0 +1,165 @@
+"""Batch pose-graph optimization: sparse Gauss-Newton/LM at 10k-pose scale.
+
+The reference's loop-closure scaffold (voxel-bucketed candidate search +
+iSAM2, /root/reference/run/pipeline.cpp:676-736) implies a batch pose-graph
+backend. On TPU we never materialize the sparse normal matrix: per-factor
+6x12 Jacobians come from a vmapped ``jacfwd`` (exact, batched), and the
+normal-equation product H @ x is computed factor-wise with gathers +
+segment-sums — so Gauss-Newton steps run as block-Jacobi-preconditioned
+conjugate gradients with only (F, 6, 6) sized intermediates.
+
+Anchor: node 0 (or any set) is pinned with a unit prior, the usual gauge fix.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.se3 import Pose3
+
+
+class PoseGraph(NamedTuple):
+    poses: Pose3  # (N,) batched
+    i: jax.Array  # (F,) int32 factor endpoints
+    j: jax.Array  # (F,)
+    rel_rot: jax.Array  # (F, 3, 3) measured i->j
+    rel_trans: jax.Array  # (F, 3)
+    sqrt_info: jax.Array  # (F, 6, 6)
+    active: jax.Array  # (F,) bool
+    anchored: jax.Array  # (N,) bool — nodes pinned at current value
+
+    @property
+    def num_nodes(self) -> int:
+        return self.poses.trans.shape[0]
+
+
+class PoseGraphConfig(NamedTuple):
+    gn_iterations: int = 10
+    cg_iterations: int = 50
+    damping: float = 1e-6
+    anchor_weight: float = 1e6
+
+
+class PoseGraphResult(NamedTuple):
+    poses: Pose3
+    error: jax.Array
+    iterations: jax.Array
+
+
+def _factor_residual(pose_i: Pose3, pose_j: Pose3, rel: Pose3, sqrt_info):
+    return sqrt_info @ se3.local(rel, se3.between(pose_i, pose_j))
+
+
+def _linearize(graph: PoseGraph):
+    """Per-factor residuals (F, 6) and Jacobians (F, 6, 6) wrt both endpoints."""
+    pi = Pose3(graph.poses.rot[graph.i], graph.poses.trans[graph.i])
+    pj = Pose3(graph.poses.rot[graph.j], graph.poses.trans[graph.j])
+    rel = Pose3(graph.rel_rot, graph.rel_trans)
+
+    def r_of(di, dj, k):
+        pik = se3.retract(Pose3(pi.rot[k], pi.trans[k]), di)
+        pjk = se3.retract(Pose3(pj.rot[k], pj.trans[k]), dj)
+        return _factor_residual(
+            pik, pjk, Pose3(rel.rot[k], rel.trans[k]), graph.sqrt_info[k]
+        )
+
+    zero = jnp.zeros(6, dtype=graph.poses.trans.dtype)
+    ks = jnp.arange(graph.i.shape[0])
+    r = jax.vmap(lambda k: r_of(zero, zero, k))(ks)
+    Ji = jax.vmap(lambda k: jax.jacfwd(lambda d: r_of(d, zero, k))(zero))(ks)
+    Jj = jax.vmap(lambda k: jax.jacfwd(lambda d: r_of(zero, d, k))(zero))(ks)
+    m = graph.active[:, None]
+    return jnp.where(m, r, 0.0), jnp.where(m[..., None], Ji, 0.0), jnp.where(
+        m[..., None], Jj, 0.0
+    )
+
+
+def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> PoseGraphResult:
+    N = graph.num_nodes
+    dtype = graph.poses.trans.dtype
+    anchor = graph.anchored.astype(dtype)[:, None] * cfg.anchor_weight
+
+    def gn_step(poses, _):
+        g = graph._replace(poses=poses)
+        r, Ji, Jj = _linearize(g)
+
+        # gradient: b = J^T r scattered to nodes
+        bi = jnp.einsum("fab,fa->fb", Ji, r)
+        bj = jnp.einsum("fab,fa->fb", Jj, r)
+        b = jax.ops.segment_sum(bi, g.i, num_segments=N) + jax.ops.segment_sum(
+            bj, g.j, num_segments=N
+        )
+
+        # block-Jacobi preconditioner from diagonal 6x6 blocks
+        Dii = jnp.einsum("fab,fac->fbc", Ji, Ji)
+        Djj = jnp.einsum("fab,fac->fbc", Jj, Jj)
+        D = jax.ops.segment_sum(Dii, g.i, num_segments=N) + jax.ops.segment_sum(
+            Djj, g.j, num_segments=N
+        )
+        D = D + (cfg.damping + anchor[..., None]) * jnp.eye(6, dtype=dtype)
+        P = jnp.linalg.inv(D)
+
+        def hx(x):  # x: (N, 6) -> H x (normal equations product)
+            ui = jnp.einsum("fab,fb->fa", Ji, x[g.i]) + jnp.einsum(
+                "fab,fb->fa", Jj, x[g.j]
+            )
+            yi = jnp.einsum("fab,fa->fb", Ji, ui)
+            yj = jnp.einsum("fab,fa->fb", Jj, ui)
+            y = jax.ops.segment_sum(yi, g.i, num_segments=N) + jax.ops.segment_sum(
+                yj, g.j, num_segments=N
+            )
+            return y + (cfg.damping + anchor) * x
+
+        def papply(v):
+            return jnp.einsum("nab,nb->na", P, v)
+
+        # PCG for H delta = -b
+        def cg_body(carry, _):
+            x, rr, z, p = carry
+            Hp = hx(p)
+            denom = jnp.sum(p * Hp)
+            alpha = jnp.where(denom > 0, jnp.sum(rr * z) / jnp.maximum(denom, 1e-30), 0.0)
+            x_n = x + alpha * p
+            r_n = rr - alpha * Hp
+            z_n = papply(r_n)
+            beta_num = jnp.sum(r_n * z_n)
+            beta = beta_num / jnp.maximum(jnp.sum(rr * z), 1e-30)
+            p_n = z_n + beta * p
+            return (x_n, r_n, z_n, p_n), None
+
+        x0 = jnp.zeros((N, 6), dtype)
+        r0 = -b
+        z0 = papply(r0)
+        (delta, *_), _ = jax.lax.scan(
+            cg_body, (x0, r0, z0, z0), None, length=cfg.cg_iterations
+        )
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        delta = jnp.where(graph.anchored[:, None], 0.0, delta)
+        new_poses = se3.retract(poses, delta)
+        return new_poses, jnp.sum(r * r)
+
+    poses, errs = jax.lax.scan(gn_step, graph.poses, None, length=cfg.gn_iterations)
+    final_r, _, _ = _linearize(graph._replace(poses=poses))
+    return PoseGraphResult(poses, 0.5 * jnp.sum(final_r**2), jnp.asarray(cfg.gn_iterations))
+
+
+def make_graph(
+    poses: Pose3,
+    i: jax.Array,
+    j: jax.Array,
+    rel: Pose3,
+    sqrt_info: jax.Array,
+    active=None,
+    anchored=None,
+) -> PoseGraph:
+    N = poses.trans.shape[0]
+    F = i.shape[0]
+    if active is None:
+        active = jnp.ones((F,), bool)
+    if anchored is None:
+        anchored = jnp.zeros((N,), bool).at[0].set(True)
+    return PoseGraph(poses, i.astype(jnp.int32), j.astype(jnp.int32), rel.rot,
+                     rel.trans, sqrt_info, active, anchored)

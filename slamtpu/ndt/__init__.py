@@ -1,7 +1,8 @@
 from .constants import gauss_constants
-from .newton import NewtonConfig, NewtonResult, newton_align
+from .newton import NewtonConfig, NewtonResult, newton_align, newton_align_reg
 from .objective import NdtObjective, full_hessian, score_grad_hess, score_only
-from .svn import SvnConfig, SvnResult, svn_align
+from .regmap import RegMap, build_regmap, score_grad_hess_reg
+from .svn import SvnConfig, SvnResult, svn_align, svn_align_reg
 
 __all__ = [
     "gauss_constants",
@@ -12,7 +13,12 @@ __all__ = [
     "NewtonConfig",
     "NewtonResult",
     "newton_align",
+    "newton_align_reg",
     "SvnConfig",
     "SvnResult",
     "svn_align",
+    "svn_align_reg",
+    "RegMap",
+    "build_regmap",
+    "score_grad_hess_reg",
 ]

@@ -57,13 +57,37 @@ def newton_align(
     """
     d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
     offsets = voxel.DIRECT1_OFFSETS if cfg.use_direct1 else voxel.DIRECT7_OFFSETS
-    dtype = points.dtype
 
     def eval_obj(pose):
         return objective.score_grad_hess(
             points, mask, pose, gmap, d1, d2, offsets, cfg.hess_lambda
         )
 
+    return _newton_loop(eval_obj, points.dtype, init_pose, cfg)
+
+
+def newton_align_reg(
+    points: jax.Array,
+    mask: jax.Array,
+    regmap,
+    init_pose: Pose3,
+    cfg: NewtonConfig = NewtonConfig(),
+    grid_shape: tuple = (256, 256, 64),
+) -> NewtonResult:
+    """Newton alignment on the search-free RegMap layout (slamtpu.ndt.regmap)."""
+    from . import regmap as regmap_mod
+
+    d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
+
+    def eval_obj(pose):
+        return regmap_mod.score_grad_hess_reg(
+            points, mask, pose, regmap, d1, d2, grid_shape, cfg.hess_lambda
+        )
+
+    return _newton_loop(eval_obj, points.dtype, init_pose, cfg)
+
+
+def _newton_loop(eval_obj, dtype, init_pose: Pose3, cfg: NewtonConfig) -> NewtonResult:
     def cond(state):
         pose, it, converged, *_ = state
         return (it < cfg.max_iterations) & (~converged)

@@ -1,0 +1,203 @@
+"""Registration-optimized map layout: dense-grid DIRECT7 without per-point search.
+
+The baseline objective (slamtpu.ndt.objective) does 7 sorted-key binary
+searches + 13-float gathers per point per iteration — on TPU the searches and
+small gathers dominate (measured ~94% of the evaluation). This module trades
+per-map precomputation (amortized over all Newton/SVN iterations) for a
+search-free per-point path:
+
+1. **compacted payload**: valid voxels only, one (V+1, 16)-float row each
+   [mean(3), icov(9), pad]; row V is an all-zero sentinel.
+2. **dilated neighbor table**: every voxel within one face-step of an
+   occupied voxel gets a row listing the payload rows of its 7 DIRECT7
+   neighbors (sentinel V where missing). Points whose center cell is outside
+   the dilated set have no neighbors by construction — exactly the DIRECT7
+   semantics of the reference (voxel_grid_covariance_impl.hpp:559-600).
+3. **dense slot grid**: a static-shape int32 grid over the dilated bounding
+   box mapping cell -> dilated row (sentinel D outside/missing).
+
+Per point per iteration this leaves: 1 grid gather + 1 neighbor-row gather +
+7 payload-row gathers + fused math — no searchsorted in the hot loop.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.se3 import Pose3
+from ..mapping import voxel
+from ..mapping.gaussian_map import GaussianMap
+from .objective import MAX_EXPONENT_ARG, MIN_FACTOR, NdtObjective, point_jacobian
+
+
+class RegMap(NamedTuple):
+    payload: jax.Array  # (V+1, 16) f32: mean(3), icov row-major(9), pad(4); row V = 0
+    nslots: jax.Array  # (D+1, 8) int32: payload rows of DIRECT7 neighbors (+pad)
+    grid: jax.Array  # (Gx*Gy*Gz + 1,) int32: cell -> dilated row (last = D)
+    bbox_min: jax.Array  # (3,) int32 voxel coords of grid cell (0,0,0)
+    origin: jax.Array  # (3,)
+    resolution: jax.Array  # ()
+    num_valid: jax.Array  # () int32
+
+    @property
+    def voxel_capacity(self) -> int:
+        return self.payload.shape[0] - 1
+
+    @property
+    def dilated_capacity(self) -> int:
+        return self.nslots.shape[0] - 1
+
+
+def _unique_sorted(keys: jax.Array, capacity: int):
+    """Sorted unique keys (INVALID-padded) from a sorted-with-dups array."""
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & (
+        sk != voxel.INVALID_KEY
+    )
+    uk = jnp.where(first, sk, voxel.INVALID_KEY)
+    uk = jnp.sort(uk)
+    return uk[:capacity]
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "dilated_capacity"))
+def build_regmap(
+    gmap: GaussianMap,
+    grid_shape: tuple = (256, 256, 64),
+    dilated_capacity: int | None = None,
+) -> RegMap:
+    """Precompute the registration layout from a finalized GaussianMap."""
+    V = gmap.capacity
+    D = dilated_capacity or 4 * V
+    gx, gy, gz = grid_shape
+    n_cells = gx * gy * gz
+
+    # 1) compact: valid voxels to the front, sorted by key
+    keys = jnp.where(gmap.valid, gmap.keys, voxel.INVALID_KEY)
+    order = jnp.argsort(keys)
+    okeys = keys[order]  # (V,) sorted, INVALID tail
+    dtype = gmap.mean.dtype
+    mean = gmap.mean[order]
+    icov = gmap.icov[order].reshape(V, 9)
+    payload = jnp.concatenate([mean, icov, jnp.zeros((V, 4), dtype)], axis=1)
+    payload = jnp.concatenate([payload, jnp.zeros((1, 16), dtype)], axis=0)
+
+    # 2) dilated voxel set = occupied + 6 face neighbors
+    coords = voxel.unpack(okeys)
+    dil = jnp.concatenate(
+        [voxel.pack(coords + off[None, :]) for off in voxel.DIRECT7_OFFSETS]
+    )
+    dil = jnp.where(jnp.tile(okeys != voxel.INVALID_KEY, 7), dil, voxel.INVALID_KEY)
+    dkeys = _unique_sorted(dil, D)  # (D,) sorted unique, INVALID tail
+
+    # neighbor payload rows per dilated cell
+    dcoords = voxel.unpack(dkeys)
+    nslot_list = []
+    for off in voxel.DIRECT7_OFFSETS:
+        nk = voxel.pack(dcoords + off[None, :])
+        nk = jnp.where(dkeys != voxel.INVALID_KEY, nk, voxel.INVALID_KEY)
+        slot, found = voxel.lookup(okeys, nk)
+        nslot_list.append(jnp.where(found, slot, V).astype(jnp.int32))
+    nslots = jnp.stack(nslot_list + [jnp.full((D,), V, jnp.int32)], axis=1)  # (D, 8)
+    nslots = jnp.concatenate([nslots, jnp.full((1, 8), V, jnp.int32)], axis=0)
+
+    # 3) dense grid over the dilated bounding box
+    dvalid = dkeys != voxel.INVALID_KEY
+    big = jnp.iinfo(jnp.int32).max
+    bbox_min = jnp.min(jnp.where(dvalid[:, None], dcoords, big), axis=0)
+    rel = dcoords - bbox_min[None, :]
+    in_grid = (
+        dvalid
+        & (rel[:, 0] >= 0) & (rel[:, 0] < gx)
+        & (rel[:, 1] >= 0) & (rel[:, 1] < gy)
+        & (rel[:, 2] >= 0) & (rel[:, 2] < gz)
+    )
+    flat = (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2]
+    flat = jnp.where(in_grid, flat, n_cells)
+    grid = jnp.full((n_cells + 1,), D, jnp.int32)
+    grid = grid.at[flat].set(
+        jnp.where(in_grid, jnp.arange(D, dtype=jnp.int32), D), mode="drop"
+    )
+    grid = grid.at[n_cells].set(D)
+    return RegMap(
+        payload=payload,
+        nslots=nslots,
+        grid=grid,
+        bbox_min=bbox_min,
+        origin=gmap.origin,
+        resolution=gmap.resolution,
+        num_valid=gmap.num_valid(),
+    )
+
+
+def _grid_shape_of(regmap: RegMap):
+    # grid is flat; the shape is recovered from static sizes at trace time —
+    # callers pass it explicitly instead. Kept for documentation.
+    raise NotImplementedError
+
+
+def _pair_terms_reg(points, mask, pose: Pose3, regmap: RegMap, d1, d2, grid_shape):
+    gx, gy, gz = grid_shape
+    n_cells = gx * gy * gz
+    V = regmap.voxel_capacity
+    dtype = points.dtype
+
+    tp = se3.transform_points(pose, points)  # (N, 3)
+    inv_res = (1.0 / regmap.resolution).astype(dtype)
+    coords = voxel.coords_of(tp, regmap.origin.astype(dtype), inv_res)
+    rel = coords - regmap.bbox_min[None, :]
+    inb = (
+        mask
+        & (rel[:, 0] >= 0) & (rel[:, 0] < gx)
+        & (rel[:, 1] >= 0) & (rel[:, 1] < gy)
+        & (rel[:, 2] >= 0) & (rel[:, 2] < gz)
+    )
+    flat = jnp.where(inb, (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2], n_cells)
+    drow = regmap.grid[flat]  # (N,)
+    ns = regmap.nslots[drow][:, :7]  # (N, 7)
+    active_slot = ns < V
+    payload = regmap.payload[ns]  # (N, 7, 16)
+    mu = payload[..., 0:3]
+    icov = payload[..., 3:12].reshape(points.shape[0], 7, 3, 3)
+
+    xrel = tp[:, None, :] - mu
+    icx = jnp.einsum("nkij,nkj->nki", icov, xrel)
+    mahal = jnp.maximum(jnp.einsum("nki,nki->nk", xrel, icx), 0.0)
+    exponent = 0.5 * d2 * mahal
+    ok = active_slot & (exponent <= MAX_EXPONENT_ARG) & jnp.isfinite(mahal)
+    e = jnp.exp(-jnp.where(ok, exponent, 0.0))
+    score_pairs = jnp.where(ok, -d1 * e, 0.0)
+    factor = d1 * d2 * e
+    active = ok & (jnp.abs(factor) >= MIN_FACTOR)
+    factor = jnp.where(active, factor, 0.0)
+    return tp, icov, icx, factor, score_pairs, ok
+
+
+def score_grad_hess_reg(
+    points: jax.Array,
+    mask: jax.Array,
+    pose: Pose3,
+    regmap: RegMap,
+    d1: float,
+    d2: float,
+    grid_shape: tuple,
+    hess_lambda: float = 1e-6,
+) -> NdtObjective:
+    """Fused NDT objective on the RegMap layout (DIRECT7 semantics; parity
+    with objective.score_grad_hess is tested in tests/test_regmap.py)."""
+    tp, icov, icx, factor, score_pairs, ok = _pair_terms_reg(
+        points, mask, pose, regmap, d1, d2, grid_shape
+    )
+    J = point_jacobian(points, pose)
+    b = jnp.einsum("nk,nki->ni", factor, icx)
+    M = jnp.einsum("nk,nkij->nij", factor, icov)
+    grad = jnp.einsum("nia,ni->a", J, b)
+    hess = jnp.einsum("nia,nij,njb->ab", J, M, J)
+    hess = hess + hess_lambda * jnp.eye(6, dtype=hess.dtype)
+    return NdtObjective(
+        jnp.sum(score_pairs), grad, hess, jnp.sum(ok, dtype=jnp.int32)
+    )

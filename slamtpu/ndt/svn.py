@@ -89,7 +89,38 @@ def svn_align(
     """SVN-NDT alignment returning a pose posterior (mean + 6x6 covariance)."""
     d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
     offsets = voxel.DIRECT1_OFFSETS if cfg.use_direct1 else voxel.DIRECT7_OFFSETS
-    dtype = points.dtype
+
+    def obj_fn(pose):
+        return objective.score_grad_hess(
+            points, mask, pose, gmap, d1, d2, offsets, cfg.hess_lambda
+        )
+
+    return _svn_loop(obj_fn, points.dtype, prior, rng_key, cfg)
+
+
+def svn_align_reg(
+    points: jax.Array,
+    mask: jax.Array,
+    regmap,
+    prior: Pose3,
+    rng_key: jax.Array,
+    cfg: SvnConfig = SvnConfig(),
+    grid_shape: tuple = (256, 256, 64),
+) -> SvnResult:
+    """SVN-NDT on the search-free RegMap layout (slamtpu.ndt.regmap)."""
+    from . import regmap as regmap_mod
+
+    d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
+
+    def obj_fn(pose):
+        return regmap_mod.score_grad_hess_reg(
+            points, mask, pose, regmap, d1, d2, grid_shape, cfg.hess_lambda
+        )
+
+    return _svn_loop(obj_fn, points.dtype, prior, rng_key, cfg)
+
+
+def _svn_loop(obj_fn, dtype, prior: Pose3, rng_key: jax.Array, cfg: SvnConfig) -> SvnResult:
     K = cfg.num_particles
     I6 = jnp.eye(6, dtype=dtype)
 
@@ -101,9 +132,7 @@ def svn_align(
     particles0 = se3.retract(prior_b, xi0)
 
     def eval_particle(pose):
-        obj = objective.score_grad_hess(
-            points, mask, pose, gmap, d1, d2, offsets, cfg.hess_lambda
-        )
+        obj = obj_fn(pose)
         g = jnp.where(jnp.all(jnp.isfinite(obj.grad)), obj.grad, jnp.zeros_like(obj.grad))
         H = jnp.where(jnp.all(jnp.isfinite(obj.hess)), obj.hess, I6)
         return g, H

@@ -1,0 +1,98 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh: the sharded map
+build and psum-reduced Newton must match single-device results exactly."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from slamtpu.core import se3
+from slamtpu.dist import build_map_sharded, lo_train_step, make_mesh, newton_align_sharded
+from slamtpu.mapping import gaussian_map
+from slamtpu.ndt import NewtonConfig, newton_align
+
+RNG = np.random.default_rng(21)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(jax.devices())
+
+
+def make_world(n=4096):
+    centers = RNG.uniform(0, 30, size=(32, 3))
+    pts = centers[RNG.integers(0, 32, n)] + RNG.normal(0, 0.3, (n, 3))
+    return jnp.asarray(pts), jnp.ones(n, bool)
+
+
+class TestShardedMap:
+    def test_matches_single_device(self, mesh):
+        pts, mask = make_world()
+        origin = jnp.asarray([-8.0, -8.0, -8.0])
+        spts = jax.device_put(pts, NamedSharding(mesh, P("data")))
+        smask = jax.device_put(mask, NamedSharding(mesh, P("data")))
+        gmap_d = build_map_sharded(mesh, spts, smask, origin, 1.0, 4096)
+        gmap_1 = gaussian_map.build_map(pts, mask, origin, 1.0, capacity=4096)
+        np.testing.assert_array_equal(np.asarray(gmap_d.keys), np.asarray(gmap_1.keys))
+        np.testing.assert_array_equal(np.asarray(gmap_d.count), np.asarray(gmap_1.count))
+        np.testing.assert_array_equal(np.asarray(gmap_d.valid), np.asarray(gmap_1.valid))
+        np.testing.assert_allclose(np.asarray(gmap_d.mean), np.asarray(gmap_1.mean), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(gmap_d.icov), np.asarray(gmap_1.icov), rtol=1e-9, atol=1e-9
+        )
+
+
+class TestShardedNewton:
+    def test_matches_single_device(self, mesh):
+        pts, mask = make_world()
+        origin = jnp.asarray([-8.0, -8.0, -8.0])
+        gmap = gaussian_map.build_map(pts, mask, origin, 1.0, capacity=4096)
+        gt = se3.expmap(jnp.asarray([0.01, -0.02, 0.03, 0.2, -0.1, 0.05]))
+        src = se3.transform_points(se3.inverse(gt), pts)
+        ssrc = jax.device_put(src, NamedSharding(mesh, P("data")))
+        smask = jax.device_put(mask, NamedSharding(mesh, P("data")))
+        pose_d, hess_d, score_d, iters_d = newton_align_sharded(
+            mesh, ssrc, smask, gmap, se3.identity(dtype=pts.dtype), max_iterations=20
+        )
+        res_1 = newton_align(
+            src, mask, gmap, se3.identity(dtype=pts.dtype),
+            NewtonConfig(resolution=1.0, max_iterations=20, max_step_norm=1.0),
+        )
+        err = np.asarray(se3.local(gt, se3.Pose3(pose_d.rot, pose_d.trans)))
+        assert np.linalg.norm(err[3:]) < 0.05
+        assert np.linalg.norm(err[:3]) < 0.035
+        # distributed and single-device iterates agree (same math, psum'd)
+        np.testing.assert_allclose(
+            np.asarray(pose_d.trans), np.asarray(res_1.pose.trans), atol=1e-6
+        )
+        # psum reduction order differs from the single-device sum; after 20
+        # Newton iterations the scores agree only to ~1e-5 relative
+        np.testing.assert_allclose(float(score_d), float(res_1.score), rtol=1e-4)
+
+    def test_lo_train_step_runs_and_grows_map(self, mesh):
+        pts, mask = make_world(2048)
+        origin = jnp.asarray([-8.0, -8.0, -8.0])
+        stats = gaussian_map.stats_from_points(pts, mask, origin, jnp.asarray(1.0), 4096)
+        new_pts, new_mask = make_world(2048)
+        spts = jax.device_put(new_pts, NamedSharding(mesh, P("data")))
+        smask = jax.device_put(new_mask, NamedSharding(mesh, P("data")))
+        pose, hess, score, iters, new_stats = jax.jit(
+            lambda p, m, st, g: lo_train_step(
+                mesh, p, m, st, g, resolution=1.0, capacity=4096, max_iterations=5
+            )
+        )(spts, smask, stats, se3.identity(dtype=pts.dtype))
+        assert np.isfinite(np.asarray(pose.trans)).all()
+        assert int(jnp.sum(new_stats.n)) == int(jnp.sum(stats.n)) + int(jnp.sum(new_mask))
+
+
+class TestGraftEntry:
+    def test_entry_and_dryrun(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+        assert np.isfinite(np.asarray(out[0])).all()
+        ge.dryrun_multichip(8)

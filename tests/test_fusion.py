@@ -1,0 +1,340 @@
+"""IMU preintegration, factor-graph smoother, pose-graph, and robustness tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slamtpu.core import se3, so3
+from slamtpu.core.se3 import Pose3
+from slamtpu.fusion import (
+    ImuBias,
+    ImuNoise,
+    NavState,
+    PoseGraphConfig,
+    SmootherConfig,
+    WindowState,
+    constant_velocity_predict,
+    deviation_gated_blend,
+    empty_factors,
+    integrate,
+    make_graph,
+    marginal_covariance,
+    predict,
+    sqrt_info_from_sigmas,
+    trust_gain_init,
+    trust_gain_update,
+)
+from slamtpu.fusion import pose_graph as pg
+from slamtpu.fusion import smoother
+from slamtpu.fusion.preintegration import residual as imu_residual
+
+RNG = np.random.default_rng(13)
+NOISE = ImuNoise(
+    accel_noise_sigma=jnp.full(3, 1e-3),
+    gyro_noise_sigma=jnp.full(3, 1e-4),
+    accel_bias_rw_sigma=jnp.full(3, 1e-5),
+    gyro_bias_rw_sigma=jnp.full(3, 1e-6),
+)
+GRAVITY = jnp.asarray([0.0, 0.0, 9.81])
+
+
+class TestPreintegration:
+    def test_constant_accel_analytic(self):
+        n, dt = 100, 0.01
+        accel = jnp.tile(jnp.asarray([1.0, 2.0, 3.0]), (n, 1))
+        gyro = jnp.zeros((n, 3))
+        dts = jnp.full(n, dt)
+        pim = integrate(accel, gyro, dts, ImuBias.zero(), NOISE)
+        T = n * dt
+        np.testing.assert_allclose(float(pim.dt), T, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pim.dv), [1 * T, 2 * T, 3 * T], atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(pim.dp), 0.5 * np.array([1, 2, 3]) * T**2, rtol=0, atol=0.5 * dt * T * 3.1
+        )
+        np.testing.assert_allclose(np.asarray(pim.dR), np.eye(3), atol=1e-12)
+
+    def test_constant_rotation(self):
+        n, dt = 200, 0.005
+        w = jnp.asarray([0.1, -0.2, 0.3])
+        pim = integrate(jnp.zeros((n, 3)), jnp.tile(w, (n, 1)), jnp.full(n, dt),
+                        ImuBias.zero(), NOISE)
+        R_expect = np.asarray(so3.exp(w * (n * dt)))
+        np.testing.assert_allclose(np.asarray(pim.dR), R_expect, atol=1e-9)
+
+    def test_padding_noop(self):
+        n = 50
+        accel = jnp.asarray(RNG.normal(size=(n, 3)))
+        gyro = jnp.asarray(RNG.normal(size=(n, 3)) * 0.1)
+        dts = jnp.full(n, 0.01)
+        a = integrate(accel, gyro, dts, ImuBias.zero(), NOISE)
+        padded = integrate(
+            jnp.concatenate([accel, jnp.ones((7, 3)) * 1e9]),
+            jnp.concatenate([gyro, jnp.ones((7, 3))]),
+            jnp.concatenate([dts, jnp.zeros(7)]),
+            ImuBias.zero(),
+            NOISE,
+        )
+        np.testing.assert_allclose(np.asarray(padded.dR), np.asarray(a.dR), atol=1e-15)
+        np.testing.assert_allclose(np.asarray(padded.dv), np.asarray(a.dv), atol=1e-15)
+        np.testing.assert_allclose(np.asarray(padded.cov), np.asarray(a.cov), atol=1e-18)
+
+    def test_bias_jacobian_first_order(self):
+        n = 80
+        accel = jnp.asarray(RNG.normal(size=(n, 3)) + np.array([0, 0, 9.81]))
+        gyro = jnp.asarray(RNG.normal(size=(n, 3)) * 0.2)
+        dts = jnp.full(n, 0.01)
+        pim0 = integrate(accel, gyro, dts, ImuBias.zero(), NOISE)
+        db = np.array([3e-4, -2e-4, 1e-4, -1e-4, 2e-4, 3e-4])
+        bias = ImuBias(jnp.asarray(db[:3]), jnp.asarray(db[3:]))
+        pim_b = integrate(accel, gyro, dts, bias, NOISE)
+        from slamtpu.fusion import bias_corrected_deltas
+
+        dR_c, dv_c, dp_c = bias_corrected_deltas(pim0, bias)
+        np.testing.assert_allclose(np.asarray(dv_c), np.asarray(pim_b.dv), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(dp_c), np.asarray(pim_b.dp), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(dR_c), np.asarray(pim_b.dR), atol=5e-6)
+
+    def _simulate(self, n=200, dt=0.005):
+        """True trajectory + perfect IMU measurements (with gravity)."""
+        w_true = np.array([0.05, -0.1, 0.3])
+        a_world = np.array([0.2, -0.1, 0.05])
+        R = np.eye(3)
+        p = np.zeros(3)
+        v = np.array([1.0, 0.0, 0.0])
+        accels, gyros = [], []
+        g = np.array([0.0, 0.0, 9.81])
+        for _ in range(n):
+            # specific force measured in body: f = R^T (a_world - g)
+            accels.append(R.T @ (a_world - g))
+            gyros.append(w_true)
+            Rdot = R @ np.asarray(so3.exp(jnp.asarray(w_true * dt)))
+            p = p + v * dt + 0.5 * a_world * dt * dt
+            v = v + a_world * dt
+            R = Rdot
+        return (
+            np.stack(accels),
+            np.stack(gyros),
+            np.full(n, dt),
+            NavState(Pose3(jnp.eye(3), jnp.zeros(3)), jnp.asarray([1.0, 0.0, 0.0])),
+            NavState(Pose3(jnp.asarray(R), jnp.asarray(p)), jnp.asarray(v)),
+        )
+
+    def test_predict_matches_simulation(self):
+        accel, gyro, dts, s0, s1 = self._simulate()
+        pim = integrate(jnp.asarray(accel), jnp.asarray(gyro), jnp.asarray(dts),
+                        ImuBias.zero(), NOISE)
+        pred = predict(s0, ImuBias.zero(), pim, GRAVITY)
+        np.testing.assert_allclose(np.asarray(pred.pose.trans), np.asarray(s1.pose.trans), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(pred.vel), np.asarray(s1.vel), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(pred.pose.rot), np.asarray(s1.pose.rot), atol=1e-6)
+
+    def test_residual_zero_at_truth(self):
+        accel, gyro, dts, s0, s1 = self._simulate()
+        pim = integrate(jnp.asarray(accel), jnp.asarray(gyro), jnp.asarray(dts),
+                        ImuBias.zero(), NOISE)
+        pred = predict(s0, ImuBias.zero(), pim, GRAVITY)
+        r = imu_residual(s0, ImuBias.zero(), pred, pim, GRAVITY)
+        np.testing.assert_allclose(np.asarray(r), np.zeros(9), atol=1e-10)
+
+    def test_covariance_grows_and_psd(self):
+        n = 100
+        pim = integrate(jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.full(n, 0.01),
+                        ImuBias.zero(), NOISE)
+        cov = np.asarray(pim.cov)
+        ev = np.linalg.eigvalsh(cov)
+        assert ev.min() >= -1e-18
+        assert cov[0, 0] > 0 and cov[3, 3] > 0 and cov[6, 6] > 0
+
+
+class TestSmoother:
+    def window(self, W=4):
+        return WindowState.identity(W)._replace(active=jnp.ones(W, bool))
+
+    def test_prior_and_between_chain(self):
+        # gt poses: x_i at [i, 0, 0] yaw i*0.1; prior on x0, betweens i->i+1
+        W = 4
+        gt = [se3.from_rpy_xyz(jnp.asarray([0, 0, 0.1 * i]), jnp.asarray([float(i), 0, 0]))
+              for i in range(W)]
+        factors = empty_factors(1, W - 1, 1, 1, 0, 0)
+        fp = factors.prior_pose
+        fp = fp._replace(
+            idx=jnp.asarray([0], jnp.int32),
+            rot=gt[0].rot[None],
+            trans=gt[0].trans[None],
+            sqrt_info=jnp.eye(6)[None] * 100.0,
+            active=jnp.asarray([True]),
+        )
+        rels = [se3.between(gt[i], gt[i + 1]) for i in range(W - 1)]
+        fb = factors.between._replace(
+            i=jnp.arange(W - 1, dtype=jnp.int32),
+            j=jnp.arange(1, W, dtype=jnp.int32),
+            rot=jnp.stack([r.rot for r in rels]),
+            trans=jnp.stack([r.trans for r in rels]),
+            sqrt_info=jnp.broadcast_to(jnp.eye(6) * 10.0, (W - 1, 6, 6)),
+            active=jnp.ones(W - 1, bool),
+        )
+        factors = factors._replace(prior_pose=fp, between=fb)
+        res = smoother.optimize(self.window(W), factors, SmootherConfig(iterations=10))
+        for i in range(W):
+            err = np.asarray(se3.local(gt[i], res.state.pose(i)))
+            assert np.linalg.norm(err) < 1e-6, (i, err)
+
+    def test_marginal_covariance_of_prior_only(self):
+        W = 2
+        sigmas = jnp.asarray([0.1, 0.1, 0.1, 0.2, 0.2, 0.2])
+        factors = empty_factors(1, 0, 1, 1, 0, 0)
+        fp = factors.prior_pose._replace(
+            idx=jnp.asarray([0], jnp.int32),
+            sqrt_info=sqrt_info_from_sigmas(sigmas)[None],
+            active=jnp.asarray([True]),
+        )
+        fv = factors.prior_vel._replace(
+            idx=jnp.asarray([0], jnp.int32), active=jnp.asarray([True])
+        )
+        fbias = factors.prior_bias._replace(
+            idx=jnp.asarray([0], jnp.int32), active=jnp.asarray([True])
+        )
+        factors = factors._replace(prior_pose=fp, prior_vel=fv, prior_bias=fbias)
+        st = WindowState.identity(W)._replace(active=jnp.asarray([True, False]))
+        res = smoother.optimize(st, factors, SmootherConfig(iterations=3))
+        cov = np.asarray(marginal_covariance(res.hessian, 0))
+        np.testing.assert_allclose(np.sqrt(np.diag(cov)[:6]), np.asarray(sigmas), rtol=1e-6)
+
+    def test_imu_factor_window(self):
+        # two states connected by a perfect IMU window + priors on state 0
+        n, dt = 100, 0.01
+        accel = np.tile(np.array([0.0, 0.0, -9.81]), (n, 1))  # stationary: f = -g in body
+        pim = integrate(jnp.asarray(accel + [0.5, 0, 0]), jnp.zeros((n, 3)),
+                        jnp.full(n, dt), ImuBias.zero(), NOISE)
+        # moving: accel world = [0.5,0,0]
+        T = n * dt
+        gt1_t = np.array([0.5 * 0.5 * T * T, 0, 0])
+        gt1_v = np.array([0.5 * T, 0, 0])
+
+        factors = empty_factors(1, 0, 1, 1, 1, 0)
+        factors = factors._replace(
+            prior_pose=factors.prior_pose._replace(
+                idx=jnp.asarray([0], jnp.int32),
+                sqrt_info=jnp.eye(6)[None] * 1e3,
+                active=jnp.asarray([True]),
+            ),
+            prior_vel=factors.prior_vel._replace(
+                idx=jnp.asarray([0], jnp.int32),
+                sqrt_info=jnp.eye(3)[None] * 1e3,
+                active=jnp.asarray([True]),
+            ),
+            prior_bias=factors.prior_bias._replace(
+                idx=jnp.asarray([0], jnp.int32),
+                sqrt_info=jnp.eye(6)[None] * 1e3,
+                active=jnp.asarray([True]),
+            ),
+            imu=factors.imu._replace(
+                i=jnp.asarray([0], jnp.int32),
+                j=jnp.asarray([1], jnp.int32),
+                dR=pim.dR[None],
+                dv=pim.dv[None],
+                dp=pim.dp[None],
+                dt=pim.dt[None],
+                dR_dbg=pim.dR_dbg[None],
+                dv_dba=pim.dv_dba[None],
+                dv_dbg=pim.dv_dbg[None],
+                dp_dba=pim.dp_dba[None],
+                dp_dbg=pim.dp_dbg[None],
+                bias_hat=jnp.zeros((1, 6)),
+                sqrt_info=jnp.eye(15)[None] * 10.0,
+                active=jnp.asarray([True]),
+            ),
+            gravity=GRAVITY,
+        )
+        st = WindowState.identity(2)._replace(active=jnp.ones(2, bool))
+        res = smoother.optimize(st, factors, SmootherConfig(iterations=10))
+        np.testing.assert_allclose(np.asarray(res.state.trans[1]), gt1_t, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res.state.vel[1]), gt1_v, atol=1e-4)
+
+
+class TestPoseGraph:
+    def test_loop_closure_corrects_drift(self):
+        # square loop: 4 sides of 10 m, 90 deg turns; odometry has drift,
+        # loop closure 3->0 is exact
+        N = 16
+        gt = [se3.identity()]
+        step = se3.from_rpy_xyz(jnp.asarray([0.0, 0, np.pi * 2 / N]), jnp.asarray([2.0, 0, 0]))
+        for _ in range(N - 1):
+            gt.append(se3.compose(gt[-1], step))
+        poses_gt = Pose3(jnp.stack([g.rot for g in gt]), jnp.stack([g.trans for g in gt]))
+        # noisy odometry chain
+        noise = RNG.normal(size=(N - 1, 6)) * np.array([0.002] * 3 + [0.03] * 3)
+        rels, init = [], [gt[0]]
+        for k in range(N - 1):
+            rel = se3.retract(se3.between(gt[k], gt[k + 1]), jnp.asarray(noise[k]))
+            rels.append(rel)
+            init.append(se3.compose(init[-1], rel))
+        init_poses = Pose3(jnp.stack([p.rot for p in init]), jnp.stack([p.trans for p in init]))
+        drift = float(jnp.linalg.norm(init_poses.trans[-1] - poses_gt.trans[-1]))
+        assert drift > 0.05
+        # factors: odometry + exact loop closure (N-1 -> 0)
+        i = jnp.asarray(list(range(N - 1)) + [N - 1], jnp.int32)
+        j = jnp.asarray(list(range(1, N)) + [0], jnp.int32)
+        loop_rel = se3.between(gt[N - 1], gt[0])
+        rel_all = Pose3(
+            jnp.stack([r.rot for r in rels] + [loop_rel.rot]),
+            jnp.stack([r.trans for r in rels] + [loop_rel.trans]),
+        )
+        si = jnp.broadcast_to(jnp.eye(6), (N, 6, 6)).at[N - 1].mul(10.0)
+        graph = make_graph(init_poses, i, j, rel_all, si)
+        res = pg.optimize(graph, PoseGraphConfig(gn_iterations=10, cg_iterations=40))
+        end_err = float(jnp.linalg.norm(res.poses.trans[-1] - poses_gt.trans[-1]))
+        assert end_err < drift * 0.5, (end_err, drift)
+        # anchored node unchanged
+        np.testing.assert_allclose(
+            np.asarray(res.poses.trans[0]), np.asarray(init_poses.trans[0]), atol=1e-12
+        )
+
+    def test_consistent_graph_zero_error(self):
+        N = 5
+        gt = [se3.expmap(jnp.asarray(RNG.normal(size=6) * 0.3)) for _ in range(N)]
+        poses = Pose3(jnp.stack([g.rot for g in gt]), jnp.stack([g.trans for g in gt]))
+        i = jnp.asarray(range(N - 1), jnp.int32)
+        j = jnp.asarray(range(1, N), jnp.int32)
+        rels = [se3.between(gt[k], gt[k + 1]) for k in range(N - 1)]
+        rel = Pose3(jnp.stack([r.rot for r in rels]), jnp.stack([r.trans for r in rels]))
+        graph = make_graph(poses, i, j, rel, jnp.broadcast_to(jnp.eye(6), (N - 1, 6, 6)))
+        res = pg.optimize(graph, PoseGraphConfig(gn_iterations=3, cg_iterations=20))
+        assert float(res.error) < 1e-20
+
+
+class TestRobust:
+    def test_trust_gain_cycle(self):
+        st = trust_gain_init()
+        # available -> scale 1
+        st, scale = trust_gain_update(st, jnp.asarray(0.01))
+        assert float(scale) == 1.0
+        # denied -> scale 100
+        st, scale = trust_gain_update(st, jnp.asarray(0.5))
+        assert float(scale) == 100.0
+        # recovery: first frame back resets trust to ~0 -> scale near 100
+        st, scale = trust_gain_update(st, jnp.asarray(0.01))
+        np.testing.assert_allclose(float(scale), 100 + 0.005 * (1 - 100), rtol=1e-9)
+        # after 200 frames, fully recovered
+        for _ in range(200):
+            st, scale = trust_gain_update(st, jnp.asarray(0.01))
+        assert float(scale) == 1.0
+
+    def test_deviation_blend(self):
+        pred = se3.expmap(jnp.asarray([0.0, 0, 0.1, 1.0, 0, 0]))
+        # identical -> full trust, returns measurement
+        blended, w = deviation_gated_blend(pred, pred)
+        assert float(w) == 1.0
+        np.testing.assert_allclose(np.asarray(blended.trans), np.asarray(pred.trans), atol=1e-12)
+        # huge deviation -> zero trust, returns prediction
+        far = se3.retract(pred, jnp.asarray([0.0, 0, 0.5, 5.0, 0, 0]))
+        blended, w = deviation_gated_blend(pred, far)
+        assert float(w) == 0.0
+        np.testing.assert_allclose(np.asarray(blended.trans), np.asarray(pred.trans), atol=1e-9)
+
+    def test_constant_velocity(self):
+        a = se3.identity()
+        b = se3.expmap(jnp.asarray([0.0, 0, 0.1, 1.0, 0, 0]))
+        c = constant_velocity_predict(a, b)
+        # c = b * (a^-1 b): applying the same delta again
+        expect = se3.compose(b, se3.between(a, b))
+        np.testing.assert_allclose(np.asarray(c.matrix()), np.asarray(expect.matrix()), atol=1e-12)

@@ -1,0 +1,63 @@
+"""Native C++ decoder parity: must match the numpy parser byte-for-byte."""
+import numpy as np
+import pytest
+
+from slamtpu.lidar import LidarParams, build_luts, parse_packet
+from slamtpu.lidar import native
+from tests.test_lidar import build_legacy_packet, build_rng19_packet, make_meta, random_fields
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no g++/native lib")
+
+
+def test_rng19_matches_python():
+    meta = make_meta(cols=64, pix=16, cpp=4)
+    luts = build_luts(meta, LidarParams(channel_stride=2))
+    bufs, pcs = [], []
+    rng = np.random.default_rng(3)
+    for k in range(5):
+        ranges, refl, sig, nir = random_fields(meta, 4)
+        ts = [int(1e9 + (k * 4 + i) * 1e5) for i in range(4)]
+        pkt = build_rng19_packet(meta, k // 2, [i for i in range(4)], ts, ranges, refl, sig, nir,
+                                 col_status=[1, 0, 1, 1])
+        bufs.append(pkt)
+        pcs.append(parse_packet(pkt, meta, luts))
+    out = native.decode_batch(b"".join(bufs), meta, luts)
+    assert out is not None
+    assert out["pkt_ok"].all()
+    for k, pc in enumerate(pcs):
+        sl = slice(k * 4, (k + 1) * 4)
+        np.testing.assert_array_equal(out["m_ids"][sl], pc.m_ids)
+        np.testing.assert_array_equal(out["col_valid"][sl], pc.col_valid)
+        np.testing.assert_allclose(out["timestamps_s"][sl], pc.timestamps_s, atol=0)
+        np.testing.assert_array_equal(out["ranges_m"][sl], pc.ranges_m)
+        np.testing.assert_array_equal(out["reflectivity"][sl], pc.reflectivity)
+        np.testing.assert_array_equal(out["signal"][sl], pc.signal)
+        np.testing.assert_array_equal(out["nir"][sl], pc.nir)
+        np.testing.assert_array_equal(out["frame_ids"][sl], pc.frame_ids)
+
+
+def test_legacy_matches_python():
+    meta = make_meta(profile="LEGACY", cols=32, pix=8, cpp=4)
+    luts = build_luts(meta, LidarParams(channel_stride=4))
+    ranges, refl, sig, nir = random_fields(meta, 4)
+    pkt = build_legacy_packet(meta, [1, 1, 2, 2], [0, 1, 2, 3], [100, 200, 300, 400],
+                              ranges, refl, sig, nir,
+                              block_status=[0xFFFFFFFF, 0, 0xFFFFFFFF, 0xFFFFFFFF])
+    pc = parse_packet(pkt, meta, luts)
+    out = native.decode_batch(pkt, meta, luts)
+    assert out is not None
+    np.testing.assert_array_equal(out["col_valid"][:4], pc.col_valid)
+    np.testing.assert_array_equal(out["ranges_m"][:4], pc.ranges_m)
+    np.testing.assert_array_equal(out["frame_ids"][:4], pc.frame_ids)
+
+
+def test_bad_type_marks_pkt():
+    meta = make_meta(cols=16, pix=8, cpp=4)
+    luts = build_luts(meta, LidarParams())
+    ranges, refl, sig, nir = random_fields(meta, 4)
+    pkt = bytearray(build_rng19_packet(meta, 0, [0, 1, 2, 3], [0] * 4, ranges, refl, sig, nir))
+    pkt[0] = 0xAB
+    out = native.decode_batch(bytes(pkt), meta, luts)
+    assert out is not None
+    assert not out["pkt_ok"][0]
+    assert not out["col_valid"][:4].any()

@@ -1,0 +1,95 @@
+"""RegMap (search-free DIRECT7 layout) parity vs the baseline objective."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slamtpu.core import se3, so3
+from slamtpu.mapping import gaussian_map
+from slamtpu.ndt import (
+    NewtonConfig,
+    SvnConfig,
+    build_regmap,
+    gauss_constants,
+    newton_align,
+    newton_align_reg,
+    score_grad_hess,
+    score_grad_hess_reg,
+    svn_align_reg,
+)
+from tests.oracles import two_plane_cloud
+
+RNG = np.random.default_rng(77)
+RES = 1.0
+GRID = (128, 128, 32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    base = two_plane_cloud(extent=8.0, pitch=0.15)
+    rpy = np.array([0.0, np.deg2rad(5.0), np.deg2rad(15.0)])
+    R = np.asarray(so3.rpy_to_rot(jnp.asarray(rpy)))
+    t = np.array([0.5, 0.0, 0.3])
+    target = base @ R.T + t + RNG.normal(scale=0.02, size=base.shape)
+    origin = np.floor(target.min(0)) - 8.0
+    gmap = gaussian_map.build_map(
+        jnp.asarray(target), jnp.ones(len(target), bool), jnp.asarray(origin), RES,
+        capacity=2048,
+    )
+    regmap = build_regmap(gmap, grid_shape=GRID)
+    source = two_plane_cloud(extent=8.0, pitch=0.3)
+    gt = se3.Pose3(jnp.asarray(R), jnp.asarray(t))
+    return gmap, regmap, source, gt
+
+
+class TestRegMapParity:
+    def test_objective_matches_baseline(self, setup):
+        gmap, regmap, source, gt = setup
+        d1, d2, _ = gauss_constants(RES, 0.55)
+        mask = jnp.ones(len(source), bool)
+        for xi in ([0.0] * 6, [0.02, -0.01, 0.03, 0.1, -0.05, 0.08],
+                   [0.1, 0.05, -0.1, 0.5, 0.4, -0.3]):
+            pose = se3.retract(gt, jnp.asarray(xi))
+            a = score_grad_hess(jnp.asarray(source), mask, pose, gmap, d1, d2)
+            b = score_grad_hess_reg(
+                jnp.asarray(source), mask, pose, regmap, d1, d2, GRID
+            )
+            assert int(a.n_contrib) == int(b.n_contrib), xi
+            np.testing.assert_allclose(float(b.score), float(a.score), rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(b.grad), np.asarray(a.grad), rtol=1e-10)
+            np.testing.assert_allclose(np.asarray(b.hess), np.asarray(a.hess), rtol=1e-10)
+
+    def test_padding_and_outside_points(self, setup):
+        gmap, regmap, source, gt = setup
+        d1, d2, _ = gauss_constants(RES, 0.55)
+        pts = np.concatenate([source, np.full((13, 3), 1e7), np.full((5, 3), -1e7)])
+        mask = np.ones(len(pts), bool)
+        mask[len(source) : len(source) + 13] = False  # padded garbage masked
+        # last 5 real-but-far points must contribute nothing, not crash
+        a = score_grad_hess(jnp.asarray(pts), jnp.asarray(mask), gt, gmap, d1, d2)
+        b = score_grad_hess_reg(jnp.asarray(pts), jnp.asarray(mask), gt, regmap, d1, d2, GRID)
+        np.testing.assert_allclose(float(b.score), float(a.score), rtol=1e-12)
+
+    def test_newton_reg_converges(self, setup):
+        _, regmap, source, gt = setup
+        init = se3.retract(gt, jnp.asarray([0.02, -0.03, 0.05, 0.2, -0.15, 0.1]))
+        cfg = NewtonConfig(resolution=RES, max_iterations=50, trans_eps=5e-3)
+        res = jax.jit(
+            newton_align_reg, static_argnames=("cfg", "grid_shape")
+        )(jnp.asarray(source), jnp.ones(len(source), bool), regmap, init, cfg, GRID)
+        err = np.asarray(se3.local(gt, res.pose))
+        assert np.linalg.norm(err[3:]) < 0.05
+        assert np.linalg.norm(err[:3]) < 0.035
+
+    def test_svn_reg_converges(self, setup):
+        _, regmap, source, gt = setup
+        init = se3.retract(gt, jnp.asarray([0.01, -0.02, 0.03, 0.15, -0.1, 0.08]))
+        cfg = SvnConfig(resolution=RES, num_particles=8, max_iterations=40,
+                        kernel_h=1.0, step_size=1.0)
+        res = jax.jit(
+            svn_align_reg, static_argnames=("cfg", "grid_shape")
+        )(jnp.asarray(source), jnp.ones(len(source), bool), regmap, init,
+          jax.random.PRNGKey(3), cfg, GRID)
+        err = np.asarray(se3.local(gt, res.pose))
+        assert np.linalg.norm(err[3:]) < 0.05
+        assert np.linalg.norm(err[:3]) < 0.035
