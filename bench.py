@@ -55,7 +55,7 @@ def main():
         gaussian_map.build_map, static_argnames=("capacity", "min_points_per_voxel")
     )(pts, mask, origin, RESOLUTION, capacity=MAP_CAPACITY)
     regmap = build_regmap(gmap, grid_shape=(192, 192, 48))
-    jax.block_until_ready(regmap.payload)
+    jax.block_until_ready(regmap.packed)
 
     # source scan: world resampled + sensor noise, offset by a realistic
     # inter-scan motion; registration must run the full Newton pipeline

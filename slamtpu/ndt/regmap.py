@@ -16,8 +16,14 @@ search-free per-point path:
 3. **dense slot grid**: a static-shape int32 grid over the dilated bounding
    box mapping cell -> dilated row (sentinel D outside/missing).
 
-Per point per iteration this leaves: 1 grid gather + 1 neighbor-row gather +
-7 payload-row gathers + fused math — no searchsorted in the hot loop.
+Per point per iteration this leaves: 1 grid gather + 1 mega-row gather +
+fused math — no searchsorted in the hot loop. TPU gathers cost per ROW, not
+per byte (measured ~14 ns/row regardless of row width), so the payloads of
+all 7 DIRECT7 neighbors are packed into ONE (D+1, 96)-float row per dilated
+cell: [7 x (mean(3), icov(9))] + 7 validity flags + pad. Mosaic's
+``tpu.dynamic_gather`` cannot address tables beyond one vreg (8 sublanes), so
+an in-kernel VMEM gather is not available on this toolchain — mega-rows are
+the next-best memory layout for XLA's HBM gather engine.
 """
 from __future__ import annotations
 
@@ -35,8 +41,8 @@ from .objective import MAX_EXPONENT_ARG, MIN_FACTOR, NdtObjective, point_jacobia
 
 
 class RegMap(NamedTuple):
-    payload: jax.Array  # (V+1, 16) f32: mean(3), icov row-major(9), pad(4); row V = 0
-    nslots: jax.Array  # (D+1, 8) int32: payload rows of DIRECT7 neighbors (+pad)
+    packed: jax.Array  # (D+1, 96): per dilated cell, 7 x [mean(3), icov(9)]
+    #                    at offsets 12k, validity flags at 84..90, pad; row D=0
     grid: jax.Array  # (Gx*Gy*Gz + 1,) int32: cell -> dilated row (last = D)
     bbox_min: jax.Array  # (3,) int32 voxel coords of grid cell (0,0,0)
     origin: jax.Array  # (3,)
@@ -44,12 +50,8 @@ class RegMap(NamedTuple):
     num_valid: jax.Array  # () int32
 
     @property
-    def voxel_capacity(self) -> int:
-        return self.payload.shape[0] - 1
-
-    @property
     def dilated_capacity(self) -> int:
-        return self.nslots.shape[0] - 1
+        return self.packed.shape[0] - 1
 
 
 def _unique_sorted(keys: jax.Array, capacity: int):
@@ -83,8 +85,8 @@ def build_regmap(
     dtype = gmap.mean.dtype
     mean = gmap.mean[order]
     icov = gmap.icov[order].reshape(V, 9)
-    payload = jnp.concatenate([mean, icov, jnp.zeros((V, 4), dtype)], axis=1)
-    payload = jnp.concatenate([payload, jnp.zeros((1, 16), dtype)], axis=0)
+    payload = jnp.concatenate([mean, icov], axis=1)  # (V, 12)
+    payload = jnp.concatenate([payload, jnp.zeros((1, 12), dtype)], axis=0)
 
     # 2) dilated voxel set = occupied + 6 face neighbors
     coords = voxel.unpack(okeys)
@@ -94,16 +96,26 @@ def build_regmap(
     dil = jnp.where(jnp.tile(okeys != voxel.INVALID_KEY, 7), dil, voxel.INVALID_KEY)
     dkeys = _unique_sorted(dil, D)  # (D,) sorted unique, INVALID tail
 
-    # neighbor payload rows per dilated cell
+    # mega-row: the 7 DIRECT7 neighbors' payloads + validity flags per cell
     dcoords = voxel.unpack(dkeys)
-    nslot_list = []
+    nslot_list, valid_list = [], []
     for off in voxel.DIRECT7_OFFSETS:
         nk = voxel.pack(dcoords + off[None, :])
         nk = jnp.where(dkeys != voxel.INVALID_KEY, nk, voxel.INVALID_KEY)
         slot, found = voxel.lookup(okeys, nk)
         nslot_list.append(jnp.where(found, slot, V).astype(jnp.int32))
-    nslots = jnp.stack(nslot_list + [jnp.full((D,), V, jnp.int32)], axis=1)  # (D, 8)
-    nslots = jnp.concatenate([nslots, jnp.full((1, 8), V, jnp.int32)], axis=0)
+        valid_list.append(found)
+    nslots = jnp.stack(nslot_list, axis=1)  # (D, 7)
+    nvalid = jnp.stack(valid_list, axis=1).astype(dtype)  # (D, 7)
+    packed = jnp.concatenate(
+        [
+            payload[nslots].reshape(D, 7 * 12),
+            nvalid,
+            jnp.zeros((D, 5), dtype),
+        ],
+        axis=1,
+    )  # (D, 96)
+    packed = jnp.concatenate([packed, jnp.zeros((1, 96), dtype)], axis=0)
 
     # 3) dense grid over the dilated bounding box
     dvalid = dkeys != voxel.INVALID_KEY
@@ -124,8 +136,7 @@ def build_regmap(
     )
     grid = grid.at[n_cells].set(D)
     return RegMap(
-        payload=payload,
-        nslots=nslots,
+        packed=packed,
         grid=grid,
         bbox_min=bbox_min,
         origin=gmap.origin,
@@ -143,7 +154,7 @@ def _grid_shape_of(regmap: RegMap):
 def _pair_terms_reg(points, mask, pose: Pose3, regmap: RegMap, d1, d2, grid_shape):
     gx, gy, gz = grid_shape
     n_cells = gx * gy * gz
-    V = regmap.voxel_capacity
+    N = points.shape[0]
     dtype = points.dtype
 
     tp = se3.transform_points(pose, points)  # (N, 3)
@@ -158,11 +169,11 @@ def _pair_terms_reg(points, mask, pose: Pose3, regmap: RegMap, d1, d2, grid_shap
     )
     flat = jnp.where(inb, (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2], n_cells)
     drow = regmap.grid[flat]  # (N,)
-    ns = regmap.nslots[drow][:, :7]  # (N, 7)
-    active_slot = ns < V
-    payload = regmap.payload[ns]  # (N, 7, 16)
-    mu = payload[..., 0:3]
-    icov = payload[..., 3:12].reshape(points.shape[0], 7, 3, 3)
+    mega = regmap.packed[drow]  # (N, 96) — the ONE payload gather per point
+    fields = mega[:, : 7 * 12].reshape(N, 7, 12)
+    mu = fields[..., 0:3]
+    icov = fields[..., 3:12].reshape(N, 7, 3, 3)
+    active_slot = mega[:, 84:91] > 0.5  # (N, 7)
 
     xrel = tp[:, None, :] - mu
     icx = jnp.einsum("nkij,nkj->nki", icov, xrel)

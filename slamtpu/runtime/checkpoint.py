@@ -1,0 +1,66 @@
+"""Checkpoint / resume for maps and trajectories.
+
+The reference has no persistence beyond end-of-run text exports (SURVEY.md
+section 5.4). Here the map state is pure arrays (VoxelStats sufficient
+statistics are associative and mergeable), so checkpointing is a plain
+npz round-trip; a resumed run merges new scans into the restored stats.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import so3
+from ..core.se3 import Pose3
+from ..mapping.gaussian_map import VoxelStats
+
+
+def save_map_stats(path: str, stats: VoxelStats):
+    np.savez_compressed(
+        path,
+        keys=np.asarray(stats.keys),
+        n=np.asarray(stats.n),
+        sx=np.asarray(stats.sx),
+        sxx=np.asarray(stats.sxx),
+        origin=np.asarray(stats.origin),
+        resolution=np.asarray(stats.resolution),
+        overflow=np.asarray(stats.overflow),
+    )
+
+
+def load_map_stats(path: str) -> VoxelStats:
+    z = np.load(path)
+    return VoxelStats(
+        keys=jnp.asarray(z["keys"]),
+        n=jnp.asarray(z["n"]),
+        sx=jnp.asarray(z["sx"]),
+        sxx=jnp.asarray(z["sxx"]),
+        origin=jnp.asarray(z["origin"]),
+        resolution=jnp.asarray(z["resolution"]),
+        overflow=jnp.asarray(z["overflow"]),
+    )
+
+
+def save_trajectory(path: str, timestamps, poses: List[Pose3], frame_ids=None):
+    quats = np.stack(
+        [np.asarray(so3.rot_to_quat(jnp.asarray(p.rot))) for p in poses]
+    )
+    trans = np.stack([np.asarray(p.trans) for p in poses])
+    np.savez_compressed(
+        path,
+        timestamps=np.asarray(timestamps, np.float64),
+        quats=quats,
+        trans=trans,
+        frame_ids=np.asarray(frame_ids if frame_ids is not None else range(len(poses))),
+    )
+
+
+def load_trajectory(path: str):
+    z = np.load(path)
+    poses = [
+        Pose3(so3.quat_to_rot(jnp.asarray(q)), jnp.asarray(t))
+        for q, t in zip(z["quats"], z["trans"])
+    ]
+    return z["timestamps"], poses, z["frame_ids"]

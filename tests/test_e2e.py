@@ -152,3 +152,42 @@ class TestVizLidar:
         assert n > 1000
         header = (tmp_path / "scan.ply").read_text().splitlines()[:9]
         assert header[0] == "ply"
+
+
+class TestCli:
+    def test_main_module_runs(self, replay, tmp_path, monkeypatch):
+        path, _, cfg = replay
+        # CLI uses the Berlin preset by default, whose metadata doesn't match
+        # the small simulated sensor — patch the config factory.
+        import slamtpu.runtime.config as config_mod
+        from slamtpu.__main__ import main
+
+        monkeypatch.setattr(
+            config_mod.PipelineConfig, "berlin", classmethod(lambda cls, meta=None: cfg)
+        )
+        out = tmp_path / "cli_out"
+        rc = main(["lo_svn", "--replay", path, "--out", str(out), "--max-keyframes", "3"])
+        assert rc == 0
+        assert (out / "trajectory.tum").exists()
+        assert (out / "trajectory.npz").exists()
+        assert (out / "keyframe_stats.csv").exists()
+        lines = (out / "trajectory.tum").read_text().splitlines()
+        assert len(lines) == 3 and len(lines[0].split()) == 8
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        from slamtpu.mapping import gaussian_map
+        from slamtpu.runtime import checkpoint
+
+        pts = jnp.asarray(np.random.default_rng(0).uniform(0, 10, (500, 3)))
+        stats = gaussian_map.stats_from_points(
+            pts, jnp.ones(500, bool), jnp.zeros(3) - 1.0, jnp.asarray(1.0), 512
+        )
+        p = str(tmp_path / "map.npz")
+        checkpoint.save_map_stats(p, stats)
+        loaded = checkpoint.load_map_stats(p)
+        np.testing.assert_array_equal(np.asarray(loaded.keys), np.asarray(stats.keys))
+        np.testing.assert_allclose(np.asarray(loaded.sxx), np.asarray(stats.sxx))
+        # resumed stats merge cleanly
+        merged = gaussian_map.merge_stats(loaded, stats, 512)
+        assert int(jnp.sum(merged.n)) == 2 * int(jnp.sum(stats.n))
