@@ -56,13 +56,24 @@ def optimize(
     inactive = ~state.active
     pin = jnp.repeat(inactive.astype(dtype), STATE_DIM)
 
+    # QR on the augmented Jacobian instead of normal equations: J^T J squares
+    # the condition number, which overflows float32 on TPU (the tests run
+    # f64 on CPU, but the deployed smoother runs f32 on device).
+    sqrt_damp = jnp.sqrt(jnp.asarray(cfg.damping, dtype))
+
+    def gn_step(st):
+        r, J = _linearize(st, factors)
+        aug = jnp.concatenate(
+            [J, jnp.diag(pin), sqrt_damp * jnp.eye(n, dtype=dtype)], axis=0
+        )
+        r_aug = jnp.concatenate([r, jnp.zeros(2 * n, dtype=dtype)])
+        Q, R = jnp.linalg.qr(aug)
+        delta = -jax.scipy.linalg.solve_triangular(R, Q.T @ r_aug, lower=False)
+        return delta
+
     def body(carry, _):
         st, err, it = carry
-        r, J = _linearize(st, factors)
-        H = J.T @ J + jnp.diag(pin)
-        g = J.T @ r
-        Hd = H + cfg.damping * jnp.eye(n, dtype=dtype)
-        delta = -jnp.linalg.solve(Hd, g)
+        delta = gn_step(st)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         step_ok = jnp.linalg.norm(delta) > cfg.step_tol
         new_st = st.retract(jnp.where(step_ok, delta, 0.0).reshape(W, STATE_DIM))

@@ -1,4 +1,5 @@
 from .constants import gauss_constants
+from .gicp import gicp_align, gicp_map, score_grad_hess_gicp
 from .newton import NewtonConfig, NewtonResult, newton_align, newton_align_reg
 from .objective import NdtObjective, full_hessian, score_grad_hess, score_only
 from .regmap import RegMap, build_regmap, score_grad_hess_reg
@@ -21,4 +22,7 @@ __all__ = [
     "RegMap",
     "build_regmap",
     "score_grad_hess_reg",
+    "gicp_map",
+    "gicp_align",
+    "score_grad_hess_gicp",
 ]

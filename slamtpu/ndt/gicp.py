@@ -1,0 +1,85 @@
+"""Voxelized GICP registration (the reference's GICP method option,
+/root/reference/src/registercallback.cpp:24-91 via pclomp::gicp_omp).
+
+TPU-native formulation follows VGICP (Koide et al.): correspondences come
+from the voxel grid instead of per-point KD-tree nearest neighbors, and each
+point-voxel pair contributes the plane-to-plane Mahalanobis cost
+
+    e = r^T (C_voxel + R C_src R^T)^-1 r,   r = T p - mu
+
+with an isotropic source covariance C_src = sigma^2 I (rotation-invariant, so
+the combined inverse (C_voxel + sigma^2 I)^-1 is baked per voxel at map-build
+time). Gradients/Hessian reuse the SE(3)-tangent machinery of the NDT
+objective; the Newton loop minimizes the cost (sign-flipped into the common
+maximize convention so slamtpu.ndt.newton is reused unchanged).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import linalg
+from ..mapping.gaussian_map import GaussianMap
+from . import regmap as regmap_mod
+from .newton import NewtonConfig, NewtonResult, _newton_loop
+from .objective import NdtObjective, point_jacobian
+
+
+def gicp_map(gmap: GaussianMap, source_noise_sigma: float = 0.05) -> GaussianMap:
+    """Clone the Gaussian map with icov = (cov + sigma^2 I)^-1 — after this,
+    the GICP cost is evaluated by the same gather/math path as NDT."""
+    fused = gmap.cov + (source_noise_sigma**2) * jnp.eye(3, dtype=gmap.cov.dtype)
+    icov = linalg.inv3x3(fused)
+    icov = jnp.where(gmap.valid[:, None, None], icov, 0.0)
+    return gmap._replace(icov=icov)
+
+
+def score_grad_hess_gicp(
+    points: jax.Array,
+    mask: jax.Array,
+    pose,
+    regmap: regmap_mod.RegMap,
+    grid_shape: tuple,
+    hess_lambda: float = 1e-6,
+    max_mahal: float = 9.0,
+) -> NdtObjective:
+    """GICP cost (negated, so it is maximized like the NDT score).
+
+    ``max_mahal`` gates outlier pairs (pairs beyond 3 sigma contribute
+    nothing — the robustness analog of NDT's bounded exp weight).
+    Expects a RegMap built from ``gicp_map(...)``.
+    """
+    # Reuse the fused pair gather; only mahal / icov / icx are needed here.
+    _tp, icov, icx, _f, _sp, _ok, mahal, active = regmap_mod._pair_terms_reg(
+        points, mask, pose, regmap, d1=-1.0, d2=2.0, grid_shape=grid_shape
+    )
+    inlier = active & (mahal <= max_mahal) & jnp.isfinite(mahal)
+    w = inlier.astype(points.dtype)
+
+    J = point_jacobian(points, pose)
+    b = jnp.einsum("nk,nki->ni", w, icx)
+    M = jnp.einsum("nk,nkij->nij", w, icov)
+    # maximize score = -sum(mahal); grad = -2 J^T icov r; H_GN = -2 J^T icov J
+    grad = -2.0 * jnp.einsum("nia,ni->a", J, b)
+    hess = -2.0 * jnp.einsum("nia,nij,njb->ab", J, M, J)
+    hess = hess + hess_lambda * jnp.eye(6, dtype=hess.dtype)
+    score = -jnp.sum(jnp.where(inlier, mahal, 0.0))
+    return NdtObjective(score, grad, hess, jnp.sum(inlier, dtype=jnp.int32))
+
+
+def gicp_align(
+    points: jax.Array,
+    mask: jax.Array,
+    regmap: regmap_mod.RegMap,
+    init_pose,
+    cfg: NewtonConfig = NewtonConfig(),
+    grid_shape: tuple = (256, 256, 64),
+) -> NewtonResult:
+    """Newton VGICP alignment (regmap must come from gicp_map + build_regmap)."""
+
+    def eval_obj(pose):
+        return score_grad_hess_gicp(
+            points, mask, pose, regmap, grid_shape, cfg.hess_lambda
+        )
+
+    return _newton_loop(eval_obj, points.dtype, init_pose, cfg)

@@ -97,16 +97,15 @@ def build_regmap(
     dkeys = _unique_sorted(dil, D)  # (D,) sorted unique, INVALID tail
 
     # mega-row: the 7 DIRECT7 neighbors' payloads + validity flags per cell
+    # (single batched lookup over all offsets keeps the compiled graph small)
     dcoords = voxel.unpack(dkeys)
-    nslot_list, valid_list = [], []
-    for off in voxel.DIRECT7_OFFSETS:
-        nk = voxel.pack(dcoords + off[None, :])
-        nk = jnp.where(dkeys != voxel.INVALID_KEY, nk, voxel.INVALID_KEY)
-        slot, found = voxel.lookup(okeys, nk)
-        nslot_list.append(jnp.where(found, slot, V).astype(jnp.int32))
-        valid_list.append(found)
-    nslots = jnp.stack(nslot_list, axis=1)  # (D, 7)
-    nvalid = jnp.stack(valid_list, axis=1).astype(dtype)  # (D, 7)
+    nk = voxel.pack(
+        dcoords[None, :, :] + voxel.DIRECT7_OFFSETS[:, None, :]
+    )  # (7, D)
+    nk = jnp.where(dkeys[None, :] != voxel.INVALID_KEY, nk, voxel.INVALID_KEY)
+    slot, found = voxel.lookup(okeys, nk.reshape(-1))
+    nslots = jnp.where(found, slot, V).astype(jnp.int32).reshape(7, D).T  # (D, 7)
+    nvalid = found.reshape(7, D).T.astype(dtype)  # (D, 7)
     packed = jnp.concatenate(
         [
             payload[nslots].reshape(D, 7 * 12),
@@ -185,7 +184,7 @@ def _pair_terms_reg(points, mask, pose: Pose3, regmap: RegMap, d1, d2, grid_shap
     factor = d1 * d2 * e
     active = ok & (jnp.abs(factor) >= MIN_FACTOR)
     factor = jnp.where(active, factor, 0.0)
-    return tp, icov, icx, factor, score_pairs, ok
+    return tp, icov, icx, factor, score_pairs, ok, mahal, active_slot
 
 
 def score_grad_hess_reg(
@@ -200,7 +199,7 @@ def score_grad_hess_reg(
 ) -> NdtObjective:
     """Fused NDT objective on the RegMap layout (DIRECT7 semantics; parity
     with objective.score_grad_hess is tested in tests/test_regmap.py)."""
-    tp, icov, icx, factor, score_pairs, ok = _pair_terms_reg(
+    tp, icov, icx, factor, score_pairs, ok, _mahal, _act = _pair_terms_reg(
         points, mask, pose, regmap, d1, d2, grid_shape
     )
     J = point_jacobian(points, pose)

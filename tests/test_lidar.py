@@ -271,3 +271,50 @@ class TestProjection:
         np.testing.assert_allclose(alpha[0], 0.0, atol=1e-6)
         np.testing.assert_allclose(alpha[-1], 1.0, atol=1e-6)
         assert (np.diff(alpha[:, 0]) > 0).all()
+
+
+class TestDeskew:
+    def test_identity_motion_noop(self):
+        from slamtpu.core import se3
+        from slamtpu.lidar.deskew import deskew_points
+
+        pts = jnp.asarray(RNG.normal(size=(100, 3)))
+        alpha = jnp.asarray(RNG.uniform(0, 1, 100))
+        p = se3.expmap(jnp.asarray(RNG.normal(size=6) * 0.3))
+        out = deskew_points(pts, alpha, p, p)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-12)
+
+    def test_recovers_static_world(self):
+        """Points of a static world sampled from a moving sensor, deskewed to
+        the end pose, must match a rigid scan taken at the end pose."""
+        from slamtpu.core import se3
+        from slamtpu.lidar.deskew import deskew_points
+
+        world = jnp.asarray(RNG.uniform(-10, 10, size=(500, 3)))
+        xi = jnp.asarray([0.0, 0.0, 0.2, 1.0, 0.5, 0.0])  # motion over the sweep
+        pose_start = se3.expmap(jnp.asarray(RNG.normal(size=6) * 0.2))
+        pose_end = se3.retract(pose_start, xi)
+        alpha = jnp.asarray(RNG.uniform(0, 1, 500))
+        # body-frame sample of each point at its sample time T(alpha)
+        t_alpha = se3.retract(
+            se3.Pose3(
+                jnp.broadcast_to(pose_start.rot, (500, 3, 3)),
+                jnp.broadcast_to(pose_start.trans, (500, 3)),
+            ),
+            alpha[:, None] * xi[None, :],
+        )
+        inv = se3.inverse(t_alpha)
+        body = jnp.einsum("nij,nj->ni", inv.rot, world) + inv.trans
+        desk = deskew_points(body, alpha, pose_start, pose_end)
+        expect = se3.transform_points(se3.inverse(pose_end), world)
+        np.testing.assert_allclose(np.asarray(desk), np.asarray(expect), atol=1e-10)
+
+    def test_alpha_one_points_unchanged(self):
+        from slamtpu.core import se3
+        from slamtpu.lidar.deskew import deskew_points
+
+        pts = jnp.asarray(RNG.normal(size=(50, 3)))
+        start = se3.expmap(jnp.asarray(RNG.normal(size=6) * 0.3))
+        end = se3.retract(start, jnp.asarray(RNG.normal(size=6) * 0.1))
+        out = deskew_points(pts, jnp.ones(50), start, end)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-12)

@@ -93,3 +93,44 @@ class TestRegMapParity:
         err = np.asarray(se3.local(gt, res.pose))
         assert np.linalg.norm(err[3:]) < 0.05
         assert np.linalg.norm(err[:3]) < 0.035
+
+
+class TestGicp:
+    def test_gicp_converges(self, setup):
+        from slamtpu.mapping import gaussian_map as gm_mod
+        from slamtpu.ndt import NewtonConfig, gicp_align, gicp_map
+        from tests.oracles import two_plane_cloud
+
+        gmap, _, source, gt = setup
+        greg = build_regmap(gicp_map(gmap, source_noise_sigma=0.05), grid_shape=GRID)
+        init = se3.retract(gt, jnp.asarray([0.02, -0.03, 0.05, 0.2, -0.15, 0.1]))
+        res = jax.jit(gicp_align, static_argnames=("cfg", "grid_shape"))(
+            jnp.asarray(source), jnp.ones(len(source), bool), greg, init,
+            NewtonConfig(resolution=RES, max_iterations=50, trans_eps=5e-3), GRID,
+        )
+        err = np.asarray(se3.local(gt, res.pose))
+        assert np.linalg.norm(err[3:]) < 0.05, err
+        assert np.linalg.norm(err[:3]) < 0.035, err
+
+    def test_gicp_cost_zero_at_exact_alignment_limit(self, setup):
+        # cost (negated score) must be near-minimal at ground truth vs offsets
+        from slamtpu.ndt import gicp_map, score_grad_hess_gicp
+
+        gmap, _, source, gt = setup
+        greg = build_regmap(gicp_map(gmap), grid_shape=GRID)
+        mask = jnp.ones(len(source), bool)
+        # disable the inlier trimming gate for a fair global-cost comparison
+        # (with trimming, a worse pose can shed outliers and "lower" the cost)
+        s_gt = float(
+            score_grad_hess_gicp(
+                jnp.asarray(source), mask, gt, greg, GRID, max_mahal=1e9
+            ).score
+        )
+        s_off = float(
+            score_grad_hess_gicp(
+                jnp.asarray(source), mask,
+                se3.retract(gt, jnp.asarray([0.0, 0, 0, 0.3, 0, 0])), greg, GRID,
+                max_mahal=1e9,
+            ).score
+        )
+        assert s_gt > s_off  # scores are negated costs
