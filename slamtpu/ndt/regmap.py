@@ -72,68 +72,85 @@ def build_regmap(
     grid_shape: tuple = (256, 256, 64),
     dilated_capacity: int | None = None,
 ) -> RegMap:
-    """Precompute the registration layout from a finalized GaussianMap."""
+    """Precompute the registration layout from a finalized GaussianMap.
+
+    Deliberately searchsorted-free: neighbor resolution goes through the
+    dense grid (scatter once, gather per neighbor) — binary searches compile
+    pathologically slowly on the TPU backend in use.
+    """
     V = gmap.capacity
     D = dilated_capacity or 4 * V
     gx, gy, gz = grid_shape
     n_cells = gx * gy * gz
-
-    # 1) compact: valid voxels to the front, sorted by key
-    keys = jnp.where(gmap.valid, gmap.keys, voxel.INVALID_KEY)
-    order = jnp.argsort(keys)
-    okeys = keys[order]  # (V,) sorted, INVALID tail
     dtype = gmap.mean.dtype
-    mean = gmap.mean[order]
-    icov = gmap.icov[order].reshape(V, 9)
-    payload = jnp.concatenate([mean, icov], axis=1)  # (V, 12)
-    payload = jnp.concatenate([payload, jnp.zeros((1, 12), dtype)], axis=0)
 
-    # 2) dilated voxel set = occupied + 6 face neighbors
-    coords = voxel.unpack(okeys)
-    dil = jnp.concatenate(
-        [voxel.pack(coords + off[None, :]) for off in voxel.DIRECT7_OFFSETS]
+    # 1) per-occupied-voxel payload rows (original map order; no sort needed)
+    keys = jnp.where(gmap.valid, gmap.keys, voxel.INVALID_KEY)
+    payload = jnp.concatenate([gmap.mean, gmap.icov.reshape(V, 9)], axis=1)
+    payload = jnp.where(gmap.valid[:, None], payload, 0.0)
+
+    # 2) dilated voxel set = occupied + 6 face neighbors (sort + unique)
+    coords = voxel.unpack(keys)
+    dil = voxel.pack(
+        coords[None, :, :] + voxel.DIRECT7_OFFSETS[:, None, :]
+    ).reshape(-1)
+    dil = jnp.where(
+        jnp.tile(keys != voxel.INVALID_KEY, 7), dil, voxel.INVALID_KEY
     )
-    dil = jnp.where(jnp.tile(okeys != voxel.INVALID_KEY, 7), dil, voxel.INVALID_KEY)
     dkeys = _unique_sorted(dil, D)  # (D,) sorted unique, INVALID tail
-
-    # mega-row: the 7 DIRECT7 neighbors' payloads + validity flags per cell
-    # (single batched lookup over all offsets keeps the compiled graph small)
+    dvalid = dkeys != voxel.INVALID_KEY
     dcoords = voxel.unpack(dkeys)
-    nk = voxel.pack(
-        dcoords[None, :, :] + voxel.DIRECT7_OFFSETS[:, None, :]
-    )  # (7, D)
-    nk = jnp.where(dkeys[None, :] != voxel.INVALID_KEY, nk, voxel.INVALID_KEY)
-    slot, found = voxel.lookup(okeys, nk.reshape(-1))
-    nslots = jnp.where(found, slot, V).astype(jnp.int32).reshape(7, D).T  # (D, 7)
-    nvalid = found.reshape(7, D).T.astype(dtype)  # (D, 7)
+
+    # 3) dense grid over the dilated bounding box: cell -> dilated row
+    big = jnp.iinfo(jnp.int32).max
+    bbox_min = jnp.min(jnp.where(dvalid[:, None], dcoords, big), axis=0)
+
+    def cell_of(c3, valid):
+        rel = c3 - bbox_min[None, :]
+        ing = (
+            valid
+            & (rel[:, 0] >= 0) & (rel[:, 0] < gx)
+            & (rel[:, 1] >= 0) & (rel[:, 1] < gy)
+            & (rel[:, 2] >= 0) & (rel[:, 2] < gz)
+        )
+        return jnp.where(ing, (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2], n_cells)
+
+    dflat = cell_of(dcoords, dvalid)
+    grid = jnp.full((n_cells + 1,), D, jnp.int32)
+    grid = grid.at[dflat].set(
+        jnp.where(dvalid, jnp.arange(D, dtype=jnp.int32), D), mode="drop"
+    )
+    grid = grid.at[n_cells].set(D)
+
+    # 4) dilated-row payload table via grid (occupied voxel -> its dilated row)
+    oflat = cell_of(coords, gmap.valid)
+    orow = jnp.where(gmap.valid, grid[oflat], D)
+    payload_d = jnp.zeros((D + 1, 12), dtype).at[orow].set(payload, mode="drop")
+    occupied_d = jnp.zeros((D + 1,), dtype).at[orow].set(
+        gmap.valid.astype(dtype), mode="drop"
+    )
+    occupied_d = occupied_d.at[D].set(0.0)
+
+    # 5) mega-rows: per dilated cell, gather the 7 neighbors through the grid
+    nflat = jnp.stack(
+        [
+            cell_of(dcoords + off[None, :], dvalid)
+            for off in voxel.DIRECT7_OFFSETS
+        ],
+        axis=1,
+    )  # (D, 7)
+    nrow = grid[nflat]  # (D, 7) dilated rows of neighbors (D = missing)
     packed = jnp.concatenate(
         [
-            payload[nslots].reshape(D, 7 * 12),
-            nvalid,
+            payload_d[nrow].reshape(D, 7 * 12),
+            occupied_d[nrow],  # (D, 7) validity flags
             jnp.zeros((D, 5), dtype),
         ],
         axis=1,
     )  # (D, 96)
+    packed = jnp.where(dvalid[:, None], packed, 0.0)
     packed = jnp.concatenate([packed, jnp.zeros((1, 96), dtype)], axis=0)
 
-    # 3) dense grid over the dilated bounding box
-    dvalid = dkeys != voxel.INVALID_KEY
-    big = jnp.iinfo(jnp.int32).max
-    bbox_min = jnp.min(jnp.where(dvalid[:, None], dcoords, big), axis=0)
-    rel = dcoords - bbox_min[None, :]
-    in_grid = (
-        dvalid
-        & (rel[:, 0] >= 0) & (rel[:, 0] < gx)
-        & (rel[:, 1] >= 0) & (rel[:, 1] < gy)
-        & (rel[:, 2] >= 0) & (rel[:, 2] < gz)
-    )
-    flat = (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2]
-    flat = jnp.where(in_grid, flat, n_cells)
-    grid = jnp.full((n_cells + 1,), D, jnp.int32)
-    grid = grid.at[flat].set(
-        jnp.where(in_grid, jnp.arange(D, dtype=jnp.int32), D), mode="drop"
-    )
-    grid = grid.at[n_cells].set(D)
     return RegMap(
         packed=packed,
         grid=grid,
@@ -142,12 +159,6 @@ def build_regmap(
         resolution=gmap.resolution,
         num_valid=gmap.num_valid(),
     )
-
-
-def _grid_shape_of(regmap: RegMap):
-    # grid is flat; the shape is recovered from static sizes at trace time —
-    # callers pass it explicitly instead. Kept for documentation.
-    raise NotImplementedError
 
 
 def _pair_terms_reg(points, mask, pose: Pose3, regmap: RegMap, d1, d2, grid_shape):

@@ -61,3 +61,34 @@ def test_bad_type_marks_pkt():
     assert out is not None
     assert not out["pkt_ok"][0]
     assert not out["col_valid"][:4].any()
+
+
+class TestAnppNative:
+    def test_matches_python_decoder(self):
+        from slamtpu.ins import native as ins_native
+        from tests.test_ins import make_pkt20, make_pkt25, make_pkt26, make_pkt28, make_pkt29
+
+        if not ins_native.available():
+            pytest.skip("no native anpp lib")
+        pkts = [
+            make_pkt20(t=3600.5, lla=(0.91, 0.23, 40.0), vel=(1.5, -2.0, 0.3),
+                       rpy=(0.02, -0.04, 2.1), sys_status=0x0041, filt_status=0x1F),
+            make_pkt25((0.01, 0.02, 0.03)),
+            make_pkt26((0.002, 0.001, 0.004)),
+            make_pkt28(list(np.arange(12) * 0.25)),
+            make_pkt29(t=3600.55, status=0x5A),
+            b"\x00\x14\x05\x00\x00bad",  # malformed
+        ]
+        out = ins_native.decode_batch(pkts)
+        assert out is not None
+        pids, fields = out
+        np.testing.assert_array_equal(pids, [20, 25, 26, 28, 29, 0])
+        np.testing.assert_allclose(fields[0][0], 3600.5, atol=1e-6)
+        np.testing.assert_allclose(fields[0][1:4], [0.91, 0.23, 40.0])
+        np.testing.assert_allclose(fields[0][4:7], [1.5, -2.0, 0.3], atol=1e-6)
+        np.testing.assert_allclose(fields[0][11:14], [0.02, -0.04, 2.1], atol=1e-6)
+        assert int(fields[0][20]) == 0x0041 and int(fields[0][21]) == 0x1F
+        np.testing.assert_allclose(fields[1][:3], [0.01, 0.02, 0.03], atol=1e-7)
+        np.testing.assert_allclose(fields[3][:12], np.arange(12) * 0.25, atol=1e-6)
+        np.testing.assert_allclose(fields[4][0], 3600.55, atol=1e-6)
+        assert int(fields[4][14]) == 0x5A
