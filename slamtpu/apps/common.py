@@ -31,10 +31,11 @@ log = logging.getLogger("slamtpu.apps")
 def ins_pose_ned(nav: NavFrame, ref_lla: np.ndarray) -> Pose3:
     """NED pose of the body from a NavFrame: position via lla2ned around the
     reference origin, attitude from the fused quaternion (the INS seed used
-    throughout the reference apps, e.g. run/pipeline_lo_svn.cpp:359-376)."""
-    ned = np.asarray(
-        geodesy.lla2ned(jnp.asarray(nav.lla), jnp.asarray(ref_lla))
-    )
+    throughout the reference apps, e.g. run/pipeline_lo_svn.cpp:359-376).
+
+    Geodesy runs host-side in numpy float64 — float32 latitude quantizes
+    positions by ~0.6 m (see slamtpu.ins.geodesy)."""
+    ned = geodesy.lla2ned(np.asarray(nav.lla, np.float64), np.asarray(ref_lla, np.float64))
     rot = np.asarray(so3.quat_to_rot(jnp.asarray(nav.quat)))
     return Pose3(jnp.asarray(rot, jnp.float32), jnp.asarray(ned, jnp.float32))
 

@@ -155,6 +155,9 @@ class LigoTcApp:
                 self.newton_cfg,
                 self.cfg.register.map_capacity,
                 self.cfg.register.min_points_per_voxel,
+                tuple(self.cfg.register.reg_grid_shape)
+                if self.cfg.register.use_regmap
+                else None,
             )
         H = np.asarray(res.hessian, np.float64)
         lidar_cov = -np.linalg.inv(H + 1e-6 * np.eye(6))

@@ -33,7 +33,9 @@ from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned
 log = logging.getLogger("slamtpu.lo_svn")
 
 
-@partial(jax.jit, static_argnames=("svn_cfg", "capacity", "min_points"))
+@partial(
+    jax.jit, static_argnames=("svn_cfg", "capacity", "min_points", "grid_shape")
+)
 def _lo_svn_step(
     kf_points,  # (K, N, 3) world-frame keyframe clouds (ring buffer)
     kf_mask,  # (K, N)
@@ -45,6 +47,7 @@ def _lo_svn_step(
     svn_cfg: SvnConfig,
     capacity: int,
     min_points: int,
+    grid_shape: tuple = None,
 ):
     K, N, _ = kf_points.shape
     gmap = gaussian_map.build_map(
@@ -55,7 +58,13 @@ def _lo_svn_step(
         capacity=capacity,
         min_points_per_voxel=min_points,
     )
-    res = svn_align(new_points, new_mask, gmap, prior, rng, svn_cfg)
+    if grid_shape is None:
+        res = svn_align(new_points, new_mask, gmap, prior, rng, svn_cfg)
+    else:
+        from ..ndt import build_regmap, svn_align_reg
+
+        regmap = build_regmap(gmap, grid_shape=grid_shape)
+        res = svn_align_reg(new_points, new_mask, regmap, prior, rng, svn_cfg, grid_shape)
     world_pts = se3.transform_points(res.pose, new_points)
     return res, world_pts, gmap.num_valid()
 
@@ -130,6 +139,9 @@ class LoSvnApp:
                 self.svn_cfg,
                 self.cfg.register.map_capacity,
                 self.cfg.register.min_points_per_voxel,
+                tuple(self.cfg.register.reg_grid_shape)
+                if self.cfg.register.use_regmap
+                else None,
             )
         published = res.pose if self.publish == "svn" else ins_pose
         # keyframe cloud stored at the published pose

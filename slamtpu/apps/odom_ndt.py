@@ -44,7 +44,9 @@ from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned
 log = logging.getLogger("slamtpu.odom_ndt")
 
 
-@partial(jax.jit, static_argnames=("cfg", "capacity", "min_points"))
+@partial(
+    jax.jit, static_argnames=("cfg", "capacity", "min_points", "grid_shape")
+)
 def _register_step(
     target_points,  # (N, 3) previous keyframe cloud, world frame
     target_mask,
@@ -55,12 +57,18 @@ def _register_step(
     cfg: NewtonConfig,
     capacity: int,
     min_points: int,
+    grid_shape: tuple = None,
 ):
     gmap = gaussian_map.build_map(
         target_points, target_mask, origin, cfg.resolution,
         capacity=capacity, min_points_per_voxel=min_points,
     )
-    return newton_align(new_points, new_mask, gmap, init_guess, cfg)
+    if grid_shape is None:
+        return newton_align(new_points, new_mask, gmap, init_guess, cfg)
+    from ..ndt import build_regmap, newton_align_reg
+
+    regmap = build_regmap(gmap, grid_shape=grid_shape)
+    return newton_align_reg(new_points, new_mask, regmap, init_guess, cfg, grid_shape)
 
 
 @dataclasses.dataclass
@@ -138,6 +146,9 @@ class OdomNdtApp:
                 self.newton_cfg,
                 self.cfg.register.map_capacity,
                 self.cfg.register.min_points_per_voxel,
+                tuple(self.cfg.register.reg_grid_shape)
+                if self.cfg.register.use_regmap
+                else None,
             )
         # deviation gate + blend (pipeline.cpp:570-592)
         blended, w = robust.deviation_gated_blend(

@@ -39,6 +39,8 @@ class RegisterConfig:
     min_points_per_voxel: int = 6
     map_capacity: int = 1 << 17
     keyframe_window: int = 5  # target window of keyframes (lo_svn :328)
+    use_regmap: bool = True  # search-free registration layout (ndt.regmap)
+    reg_grid_shape: tuple = (256, 256, 64)  # dense-grid extent in voxels
 
     @classmethod
     def from_json(cls, obj: dict) -> "RegisterConfig":

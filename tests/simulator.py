@@ -243,8 +243,12 @@ def simulate_replay(
     while t < t_end + 0.5:
         R, pos = traj.pose(t - t0)
         rpy = np.asarray(so3.rot_to_rpy(jnp.asarray(R)))
-        lla = np.asarray(ned2lla(jnp.asarray(pos + rng.normal(0, nav_pos_noise, 3)),
-                                 jnp.asarray(REF_LLA)))
+        # numpy float64 path: jnp would run f32 on TPU and quantize lat/lon
+        # by ~0.6 m (see slamtpu.ins.geodesy)
+        lla = ned2lla(
+            np.asarray(pos + rng.normal(0, nav_pos_noise, 3), np.float64),
+            REF_LLA,
+        )
         vel = traj.vel_world(t - t0)
         f_body, w_body = traj.imu_sample(t - t0)
         if imu_noise > 0:

@@ -134,3 +134,39 @@ class TestGicp:
             ).score
         )
         assert s_gt > s_off  # scores are negated costs
+
+
+class TestMultiRes:
+    def test_wider_basin_than_single_level(self, setup):
+        """A large initial offset (~2 m) that defeats fine-only NDT must be
+        recovered by the coarse-to-fine pyramid."""
+        from slamtpu.mapping import gaussian_map as gm_mod
+        from slamtpu.ndt.multires import build_pyramid, multires_align
+        from slamtpu.ndt import NewtonConfig
+        from tests.oracles import two_plane_cloud
+
+        gmap, regmap, source, gt = setup
+        # rebuild target points from the fixture's map inputs: reuse the
+        # existing fine map for the fine level and make a coarse level
+        base = two_plane_cloud(extent=8.0, pitch=0.15)
+        R, t = np.asarray(gt.rot), np.asarray(gt.trans)
+        target = base @ R.T + t
+        origin = jnp.asarray(np.floor(target.min(0)) - 8.0)
+        levels = build_pyramid(
+            jnp.asarray(target), jnp.ones(len(target), bool), origin,
+            resolutions=[4.0, 1.0], capacity=2048, grid_shape=GRID,
+            min_points_per_voxel=4,
+        )
+        far_init = se3.retract(gt, jnp.asarray([0.05, -0.05, 0.1, 1.8, -1.2, 0.4]))
+        res = multires_align(jnp.asarray(source), jnp.ones(len(source), bool),
+                             levels, far_init)
+        err = np.asarray(se3.local(gt, res.pose))
+        assert np.linalg.norm(err[3:]) < 0.08, err
+        assert np.linalg.norm(err[:3]) < 0.05, err
+        # fine-only from the same far init fails (documents the basin gain)
+        fine_only = newton_align_reg(
+            jnp.asarray(source), jnp.ones(len(source), bool), regmap, far_init,
+            NewtonConfig(resolution=RES, max_iterations=30), GRID,
+        )
+        err1 = np.asarray(se3.local(gt, fine_only.pose))
+        assert np.linalg.norm(err1[3:]) > np.linalg.norm(err[3:])
