@@ -251,3 +251,22 @@ def sqrt_info_from_cov(cov: jax.Array, jitter: float = 1e-12) -> jax.Array:
 def sqrt_info_from_sigmas(sigmas: jax.Array) -> jax.Array:
     """Diagonal whitening from per-dof standard deviations (..., d)."""
     return jax.vmap(jnp.diag)(1.0 / sigmas) if sigmas.ndim == 2 else jnp.diag(1.0 / sigmas)
+
+
+def reorder_covariance_trans_rot(cov: jax.Array) -> jax.Array:
+    """Swap a 6x6 covariance between [trans, rot] and [rot, trans] block order.
+
+    The reference's reorderCovarianceForGTSAM swaps only the diagonal 3x3
+    blocks and leaves the off-diagonal cross-covariance blocks in place — a
+    bug flagged in SURVEY.md (registercallback.cpp:170-186). This is the
+    correct permutation P C P^T with P = [[0, I], [I, 0]]: diagonal blocks
+    swap AND the off-diagonal blocks swap (each landing transposed relative
+    to the original layout). Involutory: applying it twice returns the input.
+    """
+    tt = cov[..., :3, :3]
+    tr = cov[..., :3, 3:]
+    rt = cov[..., 3:, :3]
+    rr = cov[..., 3:, 3:]
+    top = jnp.concatenate([rr, rt], axis=-1)
+    bot = jnp.concatenate([tr, tt], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

@@ -1,0 +1,118 @@
+"""Live UDP pipeline runner: sensors -> decoders -> synchronizer -> app.
+
+The reference's primary operating mode is live UDP ingest with a thread per
+stage connected by queues (run/pipeline_lo_svn.cpp:90-130). Here one asyncio
+loop owns both sockets; packet decode runs in the receive callbacks (they are
+memcpy-shaped), and completed SyncedFrames are handed to the app's ``process``
+on a worker thread so device computation never blocks the reactor. Optionally
+tees both streams into a replay file (the recording path the reference lacks).
+"""
+from __future__ import annotations
+
+import asyncio
+import logging
+import queue
+import threading
+from typing import Optional
+
+from ..ins.anpp import AnppDecoder
+from ..lidar.ouster import FrameAssembler, build_luts
+from .replay import STREAM_COMPASS, STREAM_LIDAR, ReplayWriter
+from .sync import Synchronizer
+from .udp import UdpConfig, open_udp
+
+log = logging.getLogger("slamtpu.live")
+
+
+class LivePipeline:
+    """Wire UDP ingest to an app (any object with .process(SyncedFrame))."""
+
+    def __init__(
+        self,
+        cfg,  # PipelineConfig
+        app,
+        lidar_udp: UdpConfig = UdpConfig(port=7502, buffer_size=1 << 22),
+        compass_udp: UdpConfig = UdpConfig(port=16718),
+        record_path: Optional[str] = None,
+        queue_capacity: int = 8,
+    ):
+        self.cfg = cfg
+        self.app = app
+        self.lidar_udp = lidar_udp
+        self.compass_udp = compass_udp
+        self.luts = build_luts(cfg.meta, cfg.lidar)
+        self.assembler = FrameAssembler(cfg.meta, self.luts)
+        self.anpp = AnppDecoder()
+        self.sync = Synchronizer(cfg.nav_window)
+        self.recorder = ReplayWriter(record_path) if record_path else None
+        # bounded handoff to the device worker (the reference's FrameQueue
+        # equivalent; bounded so a slow consumer drops frames instead of
+        # growing without bound)
+        self._q: queue.Queue = queue.Queue(maxsize=queue_capacity)
+        self._stop = threading.Event()
+        self.dropped_frames = 0
+
+    # --- reactor-side callbacks ---------------------------------------
+    def _on_lidar(self, payload: bytes):
+        frame = self.assembler.push_packet(payload)
+        if frame is not None:
+            for synced in self.sync.push_scan(frame):
+                self._enqueue(synced)
+
+    def _on_compass(self, payload: bytes):
+        nav = self.anpp.push_packet(payload)
+        if nav is not None:
+            for synced in self.sync.push_nav(nav):
+                self._enqueue(synced)
+
+    def _enqueue(self, synced):
+        try:
+            self._q.put_nowait(synced)
+        except queue.Full:
+            self.dropped_frames += 1
+            log.warning("device worker behind; dropping frame %d", synced.scan.frame_id)
+
+    def _on_error(self, exc):
+        log.error("UDP error: %s", exc)
+
+    # --- device worker -------------------------------------------------
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                synced = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            try:
+                self.app.process(synced)
+            except Exception:  # keep the pipeline alive on app errors
+                log.exception("app.process failed for frame %d", synced.scan.frame_id)
+
+    # --- lifecycle -------------------------------------------------------
+    async def run(self, duration_s: Optional[float] = None):
+        worker = threading.Thread(target=self._worker, daemon=True)
+        worker.start()
+        lidar_t = await open_udp(
+            self.lidar_udp, self._on_lidar, self._on_error,
+            recorder=self.recorder, stream_id=STREAM_LIDAR,
+        )
+        comp_t = await open_udp(
+            self.compass_udp, self._on_compass, self._on_error,
+            recorder=self.recorder, stream_id=STREAM_COMPASS,
+        )
+        log.info(
+            "live pipeline up (lidar :%d, compass :%d)",
+            self.lidar_udp.port, self.compass_udp.port,
+        )
+        try:
+            if duration_s is None:
+                while True:
+                    await asyncio.sleep(3600)
+            else:
+                await asyncio.sleep(duration_s)
+        finally:
+            lidar_t.close()
+            comp_t.close()
+            self._stop.set()
+            worker.join(timeout=2.0)
+            if self.recorder is not None:
+                self.recorder.close()

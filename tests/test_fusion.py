@@ -338,3 +338,19 @@ class TestRobust:
         # c = b * (a^-1 b): applying the same delta again
         expect = se3.compose(b, se3.between(a, b))
         np.testing.assert_allclose(np.asarray(c.matrix()), np.asarray(expect.matrix()), atol=1e-12)
+
+
+class TestReorderCovariance:
+    def test_permutation_correct_and_involutory(self):
+        from slamtpu.fusion.graph import reorder_covariance_trans_rot
+
+        B = RNG.normal(size=(6, 6))
+        C = B @ B.T
+        out = np.asarray(reorder_covariance_trans_rot(jnp.asarray(C)))
+        P = np.zeros((6, 6))
+        P[:3, 3:] = np.eye(3)
+        P[3:, :3] = np.eye(3)
+        np.testing.assert_allclose(out, P @ C @ P.T, atol=1e-12)
+        # involution
+        back = np.asarray(reorder_covariance_trans_rot(jnp.asarray(out)))
+        np.testing.assert_allclose(back, C, atol=1e-12)

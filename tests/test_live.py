@@ -1,0 +1,75 @@
+"""Live UDP pipeline: loopback end-to-end (sockets -> decode -> sync -> app)."""
+import asyncio
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from slamtpu.runtime.live import LivePipeline
+from slamtpu.runtime.replay import STREAM_COMPASS, STREAM_LIDAR, read_replay
+from slamtpu.runtime.udp import UdpConfig
+from tests.simulator import simulate_replay, small_meta
+from tests.test_e2e import make_cfg
+
+
+class CollectorApp:
+    def __init__(self):
+        self.frames = []
+
+    def process(self, synced):
+        self.frames.append(synced)
+
+
+def free_port():
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class TestLivePipeline:
+    def test_loopback_end_to_end(self, tmp_path):
+        meta = small_meta()
+        cfg = make_cfg(meta)
+        replay_path = str(tmp_path / "sim.rpl")
+        simulate_replay(replay_path, meta, cfg.lidar, n_sweeps=6)
+
+        app = CollectorApp()
+        lp_port, cp_port = free_port(), free_port()
+        record_path = str(tmp_path / "recorded.rpl")
+        pipeline = LivePipeline(
+            cfg,
+            app,
+            lidar_udp=UdpConfig(host="127.0.0.1", port=lp_port),
+            compass_udp=UdpConfig(host="127.0.0.1", port=cp_port),
+            record_path=record_path,
+        )
+
+        def sender():
+            time.sleep(0.3)  # let the sockets come up
+            out = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            n = 0
+            for stream, _ts, payload in read_replay(replay_path):
+                port = lp_port if stream == STREAM_LIDAR else cp_port
+                out.sendto(payload, ("127.0.0.1", port))
+                n += 1
+                if n % 40 == 0:
+                    time.sleep(0.01)  # pace to avoid kernel drops
+            out.close()
+
+        t = threading.Thread(target=sender, daemon=True)
+        t.start()
+        asyncio.run(pipeline.run(duration_s=4.0))
+        t.join()
+
+        assert len(app.frames) >= 3, f"only {len(app.frames)} synced frames arrived"
+        ids = [f.scan.frame_id for f in app.frames]
+        assert ids == sorted(ids)
+        # recording captured both streams
+        rec = list(read_replay(record_path))
+        streams = {s for s, _, _ in rec}
+        assert streams == {STREAM_LIDAR, STREAM_COMPASS}
+        assert len(rec) > 50
