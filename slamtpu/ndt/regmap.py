@@ -161,7 +161,11 @@ def build_regmap(
     )
 
 
-def _pair_terms_reg(points, mask, pose: Pose3, regmap: RegMap, d1, d2, grid_shape):
+def gather_pair_data(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
+    """The per-point voxel gather: (mu (N,7,3), icov (N,7,3,3), active (N,7)).
+
+    Separated from the math so SVN can gather ONCE at the mean pose and reuse
+    the Gaussians for all particles (their spread is << resolution)."""
     gx, gy, gz = grid_shape
     n_cells = gx * gy * gz
     N = points.shape[0]
@@ -184,7 +188,10 @@ def _pair_terms_reg(points, mask, pose: Pose3, regmap: RegMap, d1, d2, grid_shap
     mu = fields[..., 0:3]
     icov = fields[..., 3:12].reshape(N, 7, 3, 3)
     active_slot = mega[:, 84:91] > 0.5  # (N, 7)
+    return tp, mu, icov, active_slot
 
+
+def _pair_math(tp, mu, icov, active_slot, d1, d2):
     xrel = tp[:, None, :] - mu
     icx = jnp.einsum("nkij,nkj->nki", icov, xrel)
     mahal = jnp.maximum(jnp.einsum("nki,nki->nk", xrel, icx), 0.0)
@@ -195,7 +202,39 @@ def _pair_terms_reg(points, mask, pose: Pose3, regmap: RegMap, d1, d2, grid_shap
     factor = d1 * d2 * e
     active = ok & (jnp.abs(factor) >= MIN_FACTOR)
     factor = jnp.where(active, factor, 0.0)
+    return icx, factor, score_pairs, ok, mahal
+
+
+def _pair_terms_reg(points, mask, pose: Pose3, regmap: RegMap, d1, d2, grid_shape):
+    tp, mu, icov, active_slot = gather_pair_data(points, mask, pose, regmap, grid_shape)
+    icx, factor, score_pairs, ok, mahal = _pair_math(tp, mu, icov, active_slot, d1, d2)
     return tp, icov, icx, factor, score_pairs, ok, mahal, active_slot
+
+
+def score_grad_hess_gathered(
+    points: jax.Array,
+    pose: Pose3,
+    mu: jax.Array,  # (N, 7, 3) from gather_pair_data at a nearby pose
+    icov: jax.Array,  # (N, 7, 3, 3)
+    active_slot: jax.Array,  # (N, 7)
+    d1: float,
+    d2: float,
+    hess_lambda: float = 1e-6,
+) -> NdtObjective:
+    """NDT objective against pre-gathered Gaussians (SVN shared-gather path:
+    neighbor sets come from the mean pose; contributions use this pose's
+    exact transform)."""
+    tp = se3.transform_points(pose, points)
+    icx, factor, score_pairs, ok, _mahal = _pair_math(tp, mu, icov, active_slot, d1, d2)
+    J = point_jacobian(points, pose)
+    b = jnp.einsum("nk,nki->ni", factor, icx)
+    M = jnp.einsum("nk,nkij->nij", factor, icov)
+    grad = jnp.einsum("nia,ni->a", J, b)
+    hess = jnp.einsum("nia,nij,njb->ab", J, M, J)
+    hess = hess + hess_lambda * jnp.eye(6, dtype=hess.dtype)
+    return NdtObjective(
+        jnp.sum(score_pairs), grad, hess, jnp.sum(ok, dtype=jnp.int32)
+    )
 
 
 def score_grad_hess_reg(

@@ -50,6 +50,9 @@ class SvnConfig(NamedTuple):
     hess_lambda: float = 1e-6  # per-particle NDT Hessian Tikhonov (":650")
     svn_hess_lambda: float = 1e-6  # H~ regularization (":819")
     cov_eig_floor: float = 1e-9  # final covariance floor (":931")
+    shared_gather: bool = True  # one voxel gather at the mean pose for all K
+    #   particles (exact when the particle spread << resolution, which the
+    #   init sigmas guarantee; set False for strict per-particle DIRECT7)
 
 
 class SvnResult(NamedTuple):
@@ -95,7 +98,7 @@ def svn_align(
             points, mask, pose, gmap, d1, d2, offsets, cfg.hess_lambda
         )
 
-    return _svn_loop(obj_fn, points.dtype, prior, rng_key, cfg)
+    return _svn_loop(lambda _mean: obj_fn, points.dtype, prior, rng_key, cfg)
 
 
 def svn_align_reg(
@@ -107,20 +110,45 @@ def svn_align_reg(
     cfg: SvnConfig = SvnConfig(),
     grid_shape: tuple = (256, 256, 64),
 ) -> SvnResult:
-    """SVN-NDT on the search-free RegMap layout (slamtpu.ndt.regmap)."""
+    """SVN-NDT on the search-free RegMap layout (slamtpu.ndt.regmap).
+
+    With ``cfg.shared_gather`` (default), the per-point voxel gather runs
+    once per iteration at the current particle MEAN; every particle reuses
+    those Gaussians — a K-fold reduction of the gather-bound stage-1 cost.
+    Exact whenever the particle spread stays within the DIRECT7 window
+    (init sigmas 0.01-0.05 vs >= 0.5 m voxels)."""
     from . import regmap as regmap_mod
 
     d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
 
-    def obj_fn(pose):
-        return regmap_mod.score_grad_hess_reg(
-            points, mask, pose, regmap, d1, d2, grid_shape, cfg.hess_lambda
-        )
+    if cfg.shared_gather:
 
-    return _svn_loop(obj_fn, points.dtype, prior, rng_key, cfg)
+        def make_obj(mean_pose):
+            _tp, mu, icov, active = regmap_mod.gather_pair_data(
+                points, mask, mean_pose, regmap, grid_shape
+            )
+
+            def obj_fn(pose):
+                return regmap_mod.score_grad_hess_gathered(
+                    points, pose, mu, icov, active, d1, d2, cfg.hess_lambda
+                )
+
+            return obj_fn
+
+    else:
+
+        def make_obj(_mean_pose):
+            def obj_fn(pose):
+                return regmap_mod.score_grad_hess_reg(
+                    points, mask, pose, regmap, d1, d2, grid_shape, cfg.hess_lambda
+                )
+
+            return obj_fn
+
+    return _svn_loop(make_obj, points.dtype, prior, rng_key, cfg)
 
 
-def _svn_loop(obj_fn, dtype, prior: Pose3, rng_key: jax.Array, cfg: SvnConfig) -> SvnResult:
+def _svn_loop(make_obj, dtype, prior: Pose3, rng_key: jax.Array, cfg: SvnConfig) -> SvnResult:
     K = cfg.num_particles
     I6 = jnp.eye(6, dtype=dtype)
 
@@ -130,12 +158,6 @@ def _svn_loop(obj_fn, dtype, prior: Pose3, rng_key: jax.Array, cfg: SvnConfig) -
         jnp.broadcast_to(prior.rot, (K, 3, 3)), jnp.broadcast_to(prior.trans, (K, 3))
     )
     particles0 = se3.retract(prior_b, xi0)
-
-    def eval_particle(pose):
-        obj = obj_fn(pose)
-        g = jnp.where(jnp.all(jnp.isfinite(obj.grad)), obj.grad, jnp.zeros_like(obj.grad))
-        H = jnp.where(jnp.all(jnp.isfinite(obj.hess)), obj.hess, I6)
-        return g, H
 
     def mean_pose_of(particles):
         xi = se3.local(prior_b, particles)  # (K, 6) tangent at prior
@@ -147,7 +169,18 @@ def _svn_loop(obj_fn, dtype, prior: Pose3, rng_key: jax.Array, cfg: SvnConfig) -
 
     def body(state):
         particles, mean_last, it, _converged = state
-        # Stage 1: NDT derivatives per particle (batched over K).
+        # Stage 1: NDT derivatives per particle (batched over K); the
+        # objective may share work anchored at the current mean pose.
+        obj_fn = make_obj(mean_last)
+
+        def eval_particle(pose):
+            obj = obj_fn(pose)
+            g = jnp.where(
+                jnp.all(jnp.isfinite(obj.grad)), obj.grad, jnp.zeros_like(obj.grad)
+            )
+            H = jnp.where(jnp.all(jnp.isfinite(obj.hess)), obj.hess, I6)
+            return g, H
+
         grads, hessians = jax.vmap(eval_particle)(particles)  # (K,6), (K,6,6)
         # Stage 2: Stein-variational Newton update.
         kval, kgrad = _pairwise_kernel(particles, cfg.kernel_h)  # (K,K), (K,K,6)

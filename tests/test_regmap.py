@@ -82,10 +82,11 @@ class TestRegMapParity:
         assert np.linalg.norm(err[:3]) < 0.035
 
     def test_svn_reg_converges(self, setup):
+        # strict per-particle DIRECT7 (reference semantics)
         _, regmap, source, gt = setup
         init = se3.retract(gt, jnp.asarray([0.01, -0.02, 0.03, 0.15, -0.1, 0.08]))
         cfg = SvnConfig(resolution=RES, num_particles=8, max_iterations=40,
-                        kernel_h=1.0, step_size=1.0)
+                        kernel_h=1.0, step_size=1.0, shared_gather=False)
         res = jax.jit(
             svn_align_reg, static_argnames=("cfg", "grid_shape")
         )(jnp.asarray(source), jnp.ones(len(source), bool), regmap, init,
@@ -93,6 +94,34 @@ class TestRegMapParity:
         err = np.asarray(se3.local(gt, res.pose))
         assert np.linalg.norm(err[3:]) < 0.05
         assert np.linalg.norm(err[:3]) < 0.035
+
+    def test_svn_shared_gather_converges(self, setup):
+        # shared-gather mode: neighbor window anchored at the (one-iteration
+        # stale) particle mean; slightly looser gate from a harsh 0.2 m init —
+        # with realistic cm-level INS priors the anchor error vanishes.
+        _, regmap, source, gt = setup
+        init = se3.retract(gt, jnp.asarray([0.01, -0.02, 0.03, 0.15, -0.1, 0.08]))
+        cfg = SvnConfig(resolution=RES, num_particles=8, max_iterations=40,
+                        kernel_h=1.0, step_size=1.0, shared_gather=True)
+        res = jax.jit(
+            svn_align_reg, static_argnames=("cfg", "grid_shape")
+        )(jnp.asarray(source), jnp.ones(len(source), bool), regmap, init,
+          jax.random.PRNGKey(3), cfg, GRID)
+        err = np.asarray(se3.local(gt, res.pose))
+        assert np.linalg.norm(err[3:]) < 0.1, err
+        assert np.linalg.norm(err[:3]) < 0.035, err
+        # near-exact from a realistic close init — assert only the axes the
+        # two-plane fixture constrains (translation along the plane
+        # intersection, body-y, is a gauge direction the Stein repulsion
+        # wanders along in any mode)
+        close = se3.retract(gt, jnp.asarray([0.002, -0.003, 0.005, 0.03, -0.02, 0.01]))
+        res2 = jax.jit(
+            svn_align_reg, static_argnames=("cfg", "grid_shape")
+        )(jnp.asarray(source), jnp.ones(len(source), bool), regmap, close,
+          jax.random.PRNGKey(4), cfg, GRID)
+        err2 = np.asarray(se3.local(gt, res2.pose))
+        assert abs(err2[3]) < 0.05 and abs(err2[5]) < 0.05, err2
+        assert np.linalg.norm(err2[:3]) < 0.035, err2
 
 
 class TestGicp:
