@@ -121,7 +121,22 @@ def svn_align_reg(
 
     d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
 
-    if cfg.shared_gather:
+    from .pallas_math import BLOCK, fused_objective, gather_megaT
+
+    use_fused = points.dtype == jnp.float32 and points.shape[0] % BLOCK == 0
+
+    if cfg.shared_gather and use_fused:
+        ptsT = points.T
+
+        def make_obj(mean_pose):
+            megaT = gather_megaT(points, mask, mean_pose, regmap, grid_shape)
+
+            def obj_fn(pose):
+                return fused_objective(ptsT, megaT, pose, d1, d2, cfg.hess_lambda)
+
+            return obj_fn
+
+    elif cfg.shared_gather:
 
         def make_obj(mean_pose):
             _tp, mu, icov, active = regmap_mod.gather_pair_data(
