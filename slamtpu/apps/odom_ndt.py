@@ -66,8 +66,19 @@ def _register_step(
     if grid_shape is None:
         return newton_align(new_points, new_mask, gmap, init_guess, cfg)
     from ..ndt import build_regmap, newton_align_reg
+    from ..ndt.pallas_math import BLOCK, newton_align_fused
 
     regmap = build_regmap(gmap, grid_shape=grid_shape)
+    # fused Pallas path on real TPU (interpret mode on CPU would dominate
+    # test runtimes; the XLA path is numerically equivalent)
+    if (
+        jax.default_backend() == "tpu"
+        and new_points.dtype == jnp.float32
+        and new_points.shape[0] % BLOCK == 0
+    ):
+        return newton_align_fused(
+            new_points, new_mask, regmap, init_guess, cfg, grid_shape, inner_iters=4
+        )
     return newton_align_reg(new_points, new_mask, regmap, init_guess, cfg, grid_shape)
 
 
