@@ -83,6 +83,19 @@ class IngestPipeline:
         )
 
 
+def maybe_deskew(scan: ScanBuffer, synced: SyncedFrame, ref_lla, enabled: bool) -> ScanBuffer:
+    """INS-based motion compensation of a projected scan (lidar.deskew):
+    re-expresses every point in the end-of-sweep body frame using the INS
+    poses interpolated at the sweep interval ends."""
+    if not enabled:
+        return scan
+    from ..lidar.deskew import deskew_scan
+
+    pose_s = ins_pose_ned(synced.ins[0], ref_lla)
+    pose_e = ins_pose_ned(synced.ins[-1], ref_lla)
+    return deskew_scan(scan, pose_s, pose_e)
+
+
 @dataclasses.dataclass
 class TrajectoryEntry:
     timestamp: float

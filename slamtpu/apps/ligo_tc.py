@@ -46,7 +46,7 @@ from ..ins.gravity import gravity_wgs84
 from ..ndt import NewtonConfig
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
-from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned
+from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew
 from .odom_ndt import _register_step
 
 log = logging.getLogger("slamtpu.ligo_tc")
@@ -114,6 +114,7 @@ class LigoTcApp:
             self._ref_lla = np.asarray(nav.lla)
             g_mag = float(gravity_wgs84(*[jnp.asarray(v) for v in nav.lla]))
             self._gravity = jnp.asarray([0.0, 0.0, g_mag])  # NED: g is +down
+        scan = maybe_deskew(scan, synced, self._ref_lla, self.cfg.deskew)
         ins_pose = ins_pose_ned(nav, self._ref_lla)
         ins_sigma = np.concatenate([np.asarray(nav.sigma_rpy), np.asarray(nav.sigma_pos)])
         vel_ned = jnp.asarray(np.asarray(nav.vel_ned))

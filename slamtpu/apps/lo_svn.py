@@ -29,6 +29,7 @@ from ..ndt import SvnConfig, svn_align
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
 from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned
+from .common import maybe_deskew as common_deskew
 
 log = logging.getLogger("slamtpu.lo_svn")
 
@@ -112,6 +113,7 @@ class LoSvnApp:
         if self._ref_lla is None:
             # first keyframe: fix the geodetic reference + map origin
             self._ref_lla = np.asarray(nav_end.lla)
+        scan = common_deskew(scan, synced, self._ref_lla, self.cfg.deskew)
         ins_pose = ins_pose_ned(nav_end, self._ref_lla)
         if self._kf_points is None:
             K = self.cfg.register.keyframe_window

@@ -39,7 +39,7 @@ from ..mapping import gaussian_map
 from ..ndt import NewtonConfig, newton_align
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
-from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned
+from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew
 
 log = logging.getLogger("slamtpu.odom_ndt")
 
@@ -129,6 +129,7 @@ class OdomNdtApp:
         nav = synced.ins[-1]
         if self._ref_lla is None:
             self._ref_lla = np.asarray(nav.lla)
+        scan = maybe_deskew(scan, synced, self._ref_lla, self.cfg.deskew)
         ins_pose = ins_pose_ned(nav, self._ref_lla)
         ins_sigma = np.concatenate([np.asarray(nav.sigma_rpy), np.asarray(nav.sigma_pos)])
 

@@ -71,6 +71,9 @@ class PipelineConfig:
     register: RegisterConfig
     scan_points_capacity: int = 1 << 17  # padded device buffer per scan
     nav_window: int = 256
+    deskew: bool = False  # INS-based motion compensation (lidar.deskew);
+    #   off by default for parity (the reference computes alpha but never
+    #   applies it, dataframe.hpp:406-433)
 
     @classmethod
     def berlin(cls, meta: Optional[SensorMeta] = None) -> "PipelineConfig":

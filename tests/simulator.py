@@ -212,6 +212,7 @@ def simulate_replay(
     nav_pos_noise=0.0,
     imu_noise=0.0,
     seed=11,
+    skewed=False,
 ):
     """Write an interleaved lidar+compass replay along the trajectory.
 
@@ -273,8 +274,18 @@ def simulate_replay(
         col_ts = t_sweep + np.arange(cols) / cols * sweep_period * 0.95
         R, pos = traj.pose(t_sweep + sweep_period * 0.95 - t0)  # pose at sweep end
         gt.append((R, pos))
-        dirs_w = dirs_body @ R.T  # (cols, pix, 3)
-        orig_w = offs_body @ R.T + pos  # (cols, 3)
+        if skewed:
+            # motion-skewed sweep: each column sampled from the sensor pose at
+            # its own timestamp (what a real spinning lidar measures)
+            dirs_w = np.empty((cols,) + dirs_body.shape[1:])
+            orig_w = np.empty((cols, 3))
+            for c in range(cols):
+                Rc, pc = traj.pose(col_ts[c] - t0)
+                dirs_w[c] = dirs_body[c] @ Rc.T
+                orig_w[c] = Rc @ offs_body[c] + pc
+        else:
+            dirs_w = dirs_body @ R.T  # (cols, pix, 3)
+            orig_w = offs_body @ R.T + pos  # (cols, 3)
         ranges = world.raycast(
             np.broadcast_to(orig_w[:, None, :], dirs_w.shape), dirs_w
         )
