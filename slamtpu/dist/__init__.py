@@ -1,3 +1,15 @@
-from .sharded import build_map_sharded, lo_train_step, make_mesh, newton_align_sharded
+from .sharded import (
+    build_map_sharded,
+    lo_train_step,
+    make_mesh,
+    newton_align_sharded,
+    newton_align_sharded_reg,
+)
 
-__all__ = ["make_mesh", "build_map_sharded", "newton_align_sharded", "lo_train_step"]
+__all__ = [
+    "make_mesh",
+    "build_map_sharded",
+    "newton_align_sharded",
+    "newton_align_sharded_reg",
+    "lo_train_step",
+]

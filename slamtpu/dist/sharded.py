@@ -162,6 +162,76 @@ def newton_align_sharded(
     return _align(points, mask, gmap, init_pose)
 
 
+def newton_align_sharded_reg(
+    mesh: Mesh,
+    points: jax.Array,  # (N, 3) sharded over the point axis
+    mask: jax.Array,
+    regmap,  # ndt.regmap.RegMap, replicated
+    init_pose: Pose3,
+    grid_shape: tuple,
+    resolution: float = 1.0,
+    outlier_ratio: float = 0.55,
+    max_iterations: int = 30,
+    trans_eps: float = 1e-4,
+    hess_lambda: float = 1e-6,
+    axis_name: str = "data",
+):
+    """Sharded Newton NDT on the search-free RegMap layout (the production
+    multi-chip path: each chip runs the dense-grid gathers + pair math on its
+    point shard; one psum of (score, grad, Hessian) per iteration rides ICI).
+    Returns (pose, hessian, score, iterations)."""
+    from ..ndt import regmap as regmap_mod
+    from ..ndt.constants import gauss_constants
+
+    d1, d2, _ = gauss_constants(resolution, outlier_ratio)
+    dtype = points.dtype
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+    def _align(pts, msk, rmap, pose0):
+        def eval_obj(pose):
+            obj = regmap_mod.score_grad_hess_reg(
+                pts, msk, pose, rmap, d1, d2, grid_shape, hess_lambda=0.0
+            )
+            score = jax.lax.psum(obj.score, axis_name)
+            grad = jax.lax.psum(obj.grad, axis_name)
+            hess = jax.lax.psum(obj.hess, axis_name) + hess_lambda * jnp.eye(
+                6, dtype=dtype
+            )
+            return score, grad, hess
+
+        def cond(state):
+            _pose, it, converged, *_ = state
+            return (it < max_iterations) & (~converged)
+
+        def body(state):
+            pose, it, _conv, _score, _hess = state
+            score, grad, hess = eval_obj(pose)
+            step = jnp.linalg.solve(hess, -grad)
+            step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
+            norm = jnp.linalg.norm(step)
+            scale = jnp.where(norm > 1.0, 1.0 / jnp.maximum(norm, 1e-30), 1.0)
+            new_pose = se3.retract(pose, (scale * step).astype(dtype))
+            return (new_pose, it + 1, norm * scale < trans_eps, score, hess)
+
+        state0 = (
+            pose0,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            jnp.asarray(0.0, dtype),
+            jnp.zeros((6, 6), dtype),
+        )
+        pose, iters, _conv, score, hess = jax.lax.while_loop(cond, body, state0)
+        return pose, hess, score, iters
+
+    return _align(points, mask, regmap, init_pose)
+
+
 def lo_train_step(
     mesh: Mesh,
     points: jax.Array,

@@ -96,3 +96,33 @@ class TestGraftEntry:
         jax.block_until_ready(out)
         assert np.isfinite(np.asarray(out[0])).all()
         ge.dryrun_multichip(8)
+
+
+class TestShardedNewtonReg:
+    def test_matches_single_device_regmap(self, mesh):
+        from slamtpu.ndt import build_regmap, newton_align_reg
+
+        pts, mask = make_world()
+        origin = jnp.asarray([-8.0, -8.0, -8.0])
+        gmap = gaussian_map.build_map(pts, mask, origin, 1.0, capacity=4096)
+        grid = (64, 64, 64)
+        regmap = build_regmap(gmap, grid_shape=grid)
+        gt = se3.expmap(jnp.asarray([0.01, -0.02, 0.03, 0.2, -0.1, 0.05]))
+        src = se3.transform_points(se3.inverse(gt), pts)
+        from slamtpu.dist import newton_align_sharded_reg
+
+        ssrc = jax.device_put(src, NamedSharding(mesh, P("data")))
+        smask = jax.device_put(mask, NamedSharding(mesh, P("data")))
+        pose_d, hess_d, score_d, iters_d = newton_align_sharded_reg(
+            mesh, ssrc, smask, regmap, se3.identity(dtype=pts.dtype), grid,
+            max_iterations=20,
+        )
+        res_1 = newton_align_reg(
+            src, mask, regmap, se3.identity(dtype=pts.dtype),
+            NewtonConfig(resolution=1.0, max_iterations=20, max_step_norm=1.0), grid,
+        )
+        err = np.asarray(se3.local(gt, se3.Pose3(pose_d.rot, pose_d.trans)))
+        assert np.linalg.norm(err[3:]) < 0.05
+        np.testing.assert_allclose(
+            np.asarray(pose_d.trans), np.asarray(res_1.pose.trans), atol=1e-6
+        )
