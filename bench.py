@@ -172,6 +172,67 @@ def bench_svn():
     )
 
 
+def bench_lo100(n_sweeps: int = 100):
+    """Config 2: SVN-NDT LiDAR odometry over a 100-scan replayed sequence
+    with an incremental keyframe-window map (the full lo_svn app: packet
+    decode -> sync -> project -> SVN registration per keyframe)."""
+    import tempfile, os
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    import importlib
+
+    simulator = importlib.import_module("simulator")
+    from slamtpu.apps import LoSvnApp
+    from slamtpu.apps.common import ate_rmse
+    from slamtpu.core.se3 import Pose3
+    from slamtpu.core import se3
+    import jax.numpy as jnp
+    from slamtpu.lidar.ouster import LidarParams
+    from slamtpu.runtime.config import PipelineConfig, RegisterConfig
+
+    meta = simulator.small_meta(cols=256, pix=64, cpp=16)
+    cfg = PipelineConfig(
+        meta=meta,
+        lidar=LidarParams(channel_stride=1, range_filter=(0.5, 150.0)),
+        imu=__import__("slamtpu.ins.imu_config", fromlist=["ImuConfig"]).ImuConfig(),
+        register=RegisterConfig(
+            svn_resolution=1.0, svn_particles=20, svn_max_iterations=30,
+            svn_kernel_h=5.0, svn_step_size=1.0, map_capacity=1 << 15,
+            min_points_per_voxel=4, keyframe_window=3,
+            reg_grid_shape=(256, 256, 32),
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(), "lo100.rpl")
+    gt = simulator.simulate_replay(path, meta, cfg.lidar, n_sweeps=n_sweeps)
+    app = LoSvnApp(cfg)
+    t0 = time.perf_counter()
+    traj = app.run_replay(path)
+    dt = time.perf_counter() - t0
+    # relative-to-first-keyframe ATE vs ground truth
+    gt_poses = [Pose3(jnp.asarray(R), jnp.asarray(p)) for R, p in gt[1:]]
+    a0, g0 = traj[0].pose, gt_poses[0]
+    rel_app = [se3.between(a0, e.pose) for e in traj]
+    rel_gt = [se3.between(g0, g) for g in gt_poses[: len(traj)]]
+    ate = ate_rmse(rel_app, rel_gt)
+    print(
+        json.dumps(
+            {
+                "metric": f"SVN-NDT LiDAR odometry over {n_sweeps}-scan replay (full app incl. decode)",
+                "value": round(len(traj) / dt, 2),
+                "unit": "keyframes/s",
+                "vs_baseline": None,
+                "detail": {
+                    "keyframes": len(traj),
+                    "wall_s": round(dt, 1),
+                    "ate_rmse_m": round(ate, 4),
+                    "stage_ms": app.timer.summary(),
+                },
+            }
+        )
+    )
+
+
 def _world():
     import jax.numpy as jnp
 
@@ -290,6 +351,8 @@ if __name__ == "__main__":
     mode = sys.argv[sys.argv.index("--mode") + 1] if "--mode" in sys.argv else "ndt"
     if mode == "posegraph":
         bench_posegraph()
+    elif mode == "lo100":
+        bench_lo100()
     elif mode == "svn":
         bench_svn()
     else:
