@@ -45,7 +45,7 @@ def main(argv=None):
         cfg = PipelineConfig.berlin()
 
     from slamtpu.runtime import checkpoint
-    from slamtpu.runtime.export import write_compass_csv, write_trajectory_tum
+    from slamtpu.runtime.export import write_trajectory_tum
 
     prof_ctx = None
     if args.profile:

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp

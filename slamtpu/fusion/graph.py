@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import se3, so3
+from ..core import se3
 from ..core.se3 import Pose3
 from .preintegration import ImuBias, NavState, PreintegratedImu, residual as imu_residual
 

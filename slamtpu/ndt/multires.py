@@ -16,7 +16,6 @@ import jax
 
 from ..core.se3 import Pose3
 from ..mapping import gaussian_map
-from ..mapping.gaussian_map import GaussianMap
 from .newton import NewtonConfig, NewtonResult, newton_align_reg
 from .regmap import RegMap, build_regmap
 

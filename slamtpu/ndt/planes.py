@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from ..core import se3
 from ..core.se3 import Pose3
-from ..mapping import voxel
 from .objective import MAX_EXPONENT_ARG, MIN_FACTOR, NdtObjective
 from .regmap import RegMap
 

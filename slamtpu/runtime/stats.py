@@ -10,7 +10,7 @@ import csv
 import dataclasses
 import time
 from contextlib import contextmanager
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
