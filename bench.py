@@ -233,6 +233,64 @@ def bench_lo100(n_sweeps: int = 100):
     )
 
 
+def _app_bench(app_name: str, n_sweeps: int = 50):
+    """Configs 3/4: full tightly-coupled (ligo_tc) or INS-mapping (ins_map)
+    app over a replayed sequence."""
+    import tempfile, os
+    import importlib
+
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    simulator = importlib.import_module("simulator")
+    from slamtpu.lidar.ouster import LidarParams
+    from slamtpu.runtime.config import PipelineConfig, RegisterConfig
+
+    meta = simulator.small_meta(cols=256, pix=64, cpp=16)
+    cfg = PipelineConfig(
+        meta=meta,
+        lidar=LidarParams(channel_stride=1, range_filter=(0.5, 150.0)),
+        imu=__import__("slamtpu.ins.imu_config", fromlist=["ImuConfig"]).ImuConfig(),
+        register=RegisterConfig(
+            ndt_resolution=1.0, ndt_max_iterations=20, map_capacity=1 << 15,
+            min_points_per_voxel=4, reg_grid_shape=(256, 256, 32),
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(), "app.rpl")
+    gt = simulator.simulate_replay(path, meta, cfg.lidar, n_sweeps=n_sweeps)
+    if app_name == "ligo":
+        from slamtpu.apps import LigoTcApp
+
+        app = LigoTcApp(cfg, window=6)
+    else:
+        from slamtpu.apps import InsMapApp
+
+        app = InsMapApp(cfg, resolution=1.0)
+    t0 = time.perf_counter()
+    traj = app.run_replay(path)
+    dt = time.perf_counter() - t0
+    detail = {"keyframes": len(traj), "wall_s": round(dt, 1),
+              "stage_ms": getattr(app, "timer", None) and app.timer.summary()}
+    if app_name == "ligo":
+        from slamtpu.core import se3
+        from slamtpu.core.se3 import Pose3
+        import jax.numpy as jnp
+        from slamtpu.apps.common import ate_rmse
+
+        gt_poses = [Pose3(jnp.asarray(R), jnp.asarray(p)) for R, p in gt[1:]]
+        a0, g0 = traj[0].pose, gt_poses[0]
+        detail["ate_rmse_m"] = round(
+            ate_rmse([se3.between(a0, e.pose) for e in traj],
+                     [se3.between(g0, g) for g in gt_poses[: len(traj)]]), 4)
+        name = f"tightly-coupled LiDAR-IMU odometry over {n_sweeps}-scan replay"
+    else:
+        import numpy as _np
+
+        gmap = app.finalize_and_export(os.path.join(tempfile.mkdtemp(), "map"))
+        detail["valid_voxels"] = int(gmap.num_valid())
+        name = f"GNSS/INS mapping + NDT map distribution over {n_sweeps}-scan replay"
+    print(json.dumps({"metric": name, "value": round(len(traj) / dt, 2),
+                      "unit": "keyframes/s", "vs_baseline": None, "detail": detail}))
+
+
 def _world():
     import jax.numpy as jnp
 
@@ -353,6 +411,10 @@ if __name__ == "__main__":
         bench_posegraph()
     elif mode == "lo100":
         bench_lo100()
+    elif mode == "ligo":
+        _app_bench("ligo")
+    elif mode == "insmap":
+        _app_bench("insmap")
     elif mode == "svn":
         bench_svn()
     else:

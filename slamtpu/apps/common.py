@@ -113,3 +113,17 @@ def ate_rmse(traj_a: List[Pose3], traj_b: List[Pose3]) -> float:
         for a, b in zip(traj_a, traj_b)
     ]
     return float(np.sqrt(np.mean(np.square(d))))
+
+
+def np_sqrt_info_from_sigmas(sigmas) -> np.ndarray:
+    """Host (numpy) diagonal whitening — avoids per-factor eager device ops,
+    which cost ~2 ms each through the device tunnel."""
+    return np.diag(1.0 / np.asarray(sigmas, np.float64))
+
+
+def np_sqrt_info_from_cov(cov, jitter: float = 1e-12) -> np.ndarray:
+    """Host (numpy) whitening S with S^T S = cov^-1 (lower-inverse)."""
+    cov = np.asarray(cov, np.float64)
+    d = cov.shape[-1]
+    L = np.linalg.cholesky(cov + jitter * np.eye(d))
+    return np.linalg.solve(L, np.eye(d))

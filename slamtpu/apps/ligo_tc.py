@@ -46,7 +46,8 @@ from ..ins.gravity import gravity_wgs84
 from ..ndt import NewtonConfig
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
-from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew
+from .common import (IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew,
+    np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
 from .odom_ndt import _register_step
 
 log = logging.getLogger("slamtpu.ligo_tc")
@@ -224,7 +225,7 @@ class LigoTcApp:
             rot=jnp.stack([w["ins"][0].rot for w in self._win] + [jnp.eye(3)] * pad),
             trans=jnp.stack([w["ins"][0].trans for w in self._win] + [jnp.zeros(3)] * pad),
             sqrt_info=jnp.stack(
-                [sqrt_info_from_sigmas(jnp.asarray(w["ins"][1])) for w in self._win]
+                [jnp.asarray(np_sqrt_info_from_sigmas(w["ins"][1])) for w in self._win]
                 + [jnp.eye(6)] * pad
             ),
             active=jnp.asarray([True] * n + [False] * pad),
@@ -252,7 +253,7 @@ class LigoTcApp:
             rot=jnp.stack([r.rot for r in rels] + [jnp.eye(3)] * (W - 1 - n_b)),
             trans=jnp.stack([r.trans for r in rels] + [jnp.zeros(3)] * (W - 1 - n_b)),
             sqrt_info=jnp.stack(
-                [sqrt_info_from_cov(jnp.asarray(c)) for c in covs]
+                [jnp.asarray(np_sqrt_info_from_cov(c)) for c in covs]
                 + [jnp.eye(6)] * (W - 1 - n_b)
             ),
             active=jnp.asarray([True] * n_b + [False] * (W - 1 - n_b)),
@@ -277,7 +278,7 @@ class LigoTcApp:
                 [p.bias_hat.vec() for p in pims] + [jnp.zeros(6)] * (W - 1 - n_b)
             ),
             sqrt_info=jnp.stack(
-                [sqrt_info_from_cov(p.cov + 1e-12 * jnp.eye(15)) for p in pims]
+                [jnp.asarray(np_sqrt_info_from_cov(np.asarray(p.cov))) for p in pims]
                 + [jnp.eye(15)] * (W - 1 - n_b)
             ),
             active=jnp.asarray([True] * n_b + [False] * (W - 1 - n_b)),

@@ -39,7 +39,8 @@ from ..mapping import gaussian_map
 from ..ndt import NewtonConfig, newton_align
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
-from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew
+from .common import (IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew,
+    np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
 
 log = logging.getLogger("slamtpu.odom_ndt")
 
@@ -258,7 +259,7 @@ class OdomNdtApp:
                 [p.trans for p, _ in self._win_ins] + [jnp.zeros(3)] * (W - n)
             ),
             sqrt_info=jnp.stack(
-                [sqrt_info_from_sigmas(jnp.asarray(s)) for _, s in self._win_ins]
+                [jnp.asarray(np_sqrt_info_from_sigmas(s)) for _, s in self._win_ins]
                 + [jnp.eye(6)] * (W - n)
             ),
             active=jnp.asarray([True] * n + [False] * (W - n)),
@@ -275,7 +276,7 @@ class OdomNdtApp:
                 [r.trans for r, _ in self._win_between] + [jnp.zeros(3)] * (W - 1 - n_b)
             ),
             sqrt_info=jnp.stack(
-                [sqrt_info_from_cov(jnp.asarray(c)) for _, c in self._win_between]
+                [jnp.asarray(np_sqrt_info_from_cov(c)) for _, c in self._win_between]
                 + [jnp.eye(6)] * (W - 1 - n_b)
             ),
             active=jnp.asarray([True] * n_b + [False] * (W - 1 - n_b)),
