@@ -36,8 +36,6 @@ from ..fusion import (
     integrate,
     marginal_covariance,
     predict,
-    sqrt_info_from_cov,
-    sqrt_info_from_sigmas,
     trust_gain_init,
     trust_gain_update,
 )

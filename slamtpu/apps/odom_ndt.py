@@ -29,8 +29,6 @@ from ..fusion import (
     WindowState,
     empty_factors,
     marginal_covariance,
-    sqrt_info_from_cov,
-    sqrt_info_from_sigmas,
     trust_gain_init,
     trust_gain_update,
 )
