@@ -41,6 +41,7 @@ from ..fusion import (
 )
 from ..fusion import smoother
 from ..ins.gravity import gravity_wgs84
+from ..mapping import gaussian_map
 from ..ndt import NewtonConfig
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
@@ -144,6 +145,9 @@ class LigoTcApp:
             predicted = predict(
                 NavState(prev["pose"], prev["vel"]), bias_prev, pim, self._gravity
             )
+        self._origin, _shifted = gaussian_map.recenter_origin(
+            self._origin, np.asarray(ins_pose.trans), self.newton_cfg.resolution
+        )
         with self.timer.span("ndt"):
             res = _register_step(
                 self._prev_cloud[0],

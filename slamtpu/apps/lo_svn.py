@@ -128,6 +128,11 @@ class LoSvnApp:
             self._insert_keyframe(world, scan.mask)
             self._record(synced, scan, ins_pose, ins_pose, None, 0, True, 0.0)
             return
+        self._origin, shifted = gaussian_map.recenter_origin(
+            self._origin, np.asarray(ins_pose.trans), self.svn_cfg.resolution
+        )
+        if shifted:
+            log.info("map origin recentered at keyframe %d", synced.scan.frame_id)
         self._key, sub = jax.random.split(self._key)
         with self.timer.span("svn_step"):
             res, world_pts, n_voxels = _lo_svn_step(

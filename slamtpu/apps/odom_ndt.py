@@ -146,6 +146,9 @@ class OdomNdtApp:
             guess = self._prev_pose
         guess = se3.cast(guess, jnp.float32)  # NDT path runs f32
 
+        self._origin, _shifted = gaussian_map.recenter_origin(
+            self._origin, np.asarray(ins_pose.trans), self.newton_cfg.resolution
+        )
         with self.timer.span("ndt"):
             res = _register_step(
                 self._prev_cloud[0],

@@ -215,6 +215,27 @@ def origin_for(
     return (jnp.floor(pmin / resolution) - margin_voxels) * resolution
 
 
+def recenter_origin(
+    origin, position, resolution: float, grid_dim: int = None, threshold_frac: float = 0.5
+):
+    """Shift the map origin when ``position`` strays from the key-range
+    center (packed keys cover GRID_DIM voxels per axis — ±512 m at 1 m
+    resolution). Per-keyframe map rebuilds make the shift free: the next
+    build simply keys against the new origin. Returns (new_origin, shifted)."""
+    import numpy as np
+
+    from . import voxel as voxel_mod
+
+    grid_dim = grid_dim or voxel_mod.GRID_DIM
+    half = 0.5 * grid_dim * float(resolution)
+    center = np.asarray(origin, np.float64) + half
+    off = np.asarray(position, np.float64) - center
+    if np.max(np.abs(off)) <= threshold_frac * half:
+        return origin, False
+    new_origin = (np.floor((np.asarray(position) - half) / resolution)) * resolution
+    return jnp.asarray(new_origin, jnp.asarray(origin).dtype), True
+
+
 def build_map(
     points: jax.Array,
     mask: jax.Array,

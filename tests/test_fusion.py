@@ -354,3 +354,47 @@ class TestReorderCovariance:
         # involution
         back = np.asarray(reorder_covariance_trans_rot(jnp.asarray(out)))
         np.testing.assert_allclose(back, C, atol=1e-12)
+
+
+class TestPoseGraphScale:
+    def test_1000_pose_circle_with_closures(self):
+        """Mid-scale CPU guard for the PCG pose-graph solver (bench runs 10k
+        on device): generator uses float64 closed forms, see bench.py notes
+        on f32 between/compose chains."""
+        n = 1000
+        rng = np.random.default_rng(3)
+        radius = 100.0
+        yaw = 2 * np.pi * np.arange(n) / n
+        t64 = np.stack([radius * np.sin(yaw), radius * (1 - np.cos(yaw)), np.zeros(n)], -1)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        z, o = np.zeros(n), np.ones(n)
+        R64 = np.stack([np.stack([cy, -sy, z], -1), np.stack([sy, cy, z], -1),
+                        np.stack([z, z, o], -1)], 1)
+        rel_R = np.einsum("nji,njk->nik", R64[:-1], R64[1:])
+        rel_t = np.einsum("nji,nj->ni", R64[:-1], t64[1:] - t64[:-1])
+        noise = rng.normal(size=(n - 1, 6)) * np.array([2e-4] * 3 + [5e-3] * 3)
+        rel = se3.retract(Pose3(jnp.asarray(rel_R), jnp.asarray(rel_t)), jnp.asarray(noise))
+        rr, rt = np.asarray(rel.rot), np.asarray(rel.trans)
+        init_R, init_t = np.empty_like(R64), np.empty_like(t64)
+        init_R[0], init_t[0] = R64[0], t64[0]
+        for k in range(n - 1):
+            init_t[k + 1] = init_t[k] + init_R[k] @ rt[k]
+            init_R[k + 1] = init_R[k] @ rr[k]
+        drift = np.linalg.norm(init_t[-1] - t64[-1])
+        assert drift > 0.2
+        # odometry + 20 circle-closing factors
+        li = rng.integers(0, 20, 20)
+        lj = n - 20 + rng.integers(0, 20, 20)
+        lr_R = np.einsum("nji,njk->nik", R64[li], R64[lj])
+        lr_t = np.einsum("nji,nj->ni", R64[li], t64[lj] - t64[li])
+        i = jnp.concatenate([jnp.arange(n - 1), jnp.asarray(li)]).astype(jnp.int32)
+        j = jnp.concatenate([jnp.arange(1, n), jnp.asarray(lj)]).astype(jnp.int32)
+        rel_all = Pose3(
+            jnp.concatenate([rel.rot, jnp.asarray(lr_R)]),
+            jnp.concatenate([rel.trans, jnp.asarray(lr_t)]),
+        )
+        si = jnp.broadcast_to(jnp.eye(6) * 100.0, (int(i.shape[0]), 6, 6))
+        graph = make_graph(Pose3(jnp.asarray(init_R), jnp.asarray(init_t)), i, j, rel_all, si)
+        res = pg.optimize(graph, PoseGraphConfig(gn_iterations=6, cg_iterations=50))
+        drift_after = float(jnp.linalg.norm(res.poses.trans[-1] - jnp.asarray(t64[-1])))
+        assert drift_after < drift * 0.2, (drift, drift_after)

@@ -130,3 +130,26 @@ class TestGaussianMap:
             jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(np.zeros(3) - 1.0), jnp.asarray(1.0), 64
         )
         assert int(stats.overflow) > 0
+
+
+class TestRecenterOrigin:
+    def test_no_shift_inside_threshold(self):
+        origin = jnp.asarray([-512.0, -512.0, -512.0])
+        new, shifted = gaussian_map.recenter_origin(origin, np.zeros(3), 1.0)
+        assert not shifted
+        np.testing.assert_array_equal(np.asarray(new), np.asarray(origin))
+
+    def test_shift_beyond_threshold_and_map_still_works(self):
+        origin = jnp.asarray([-512.0, -512.0, -512.0])
+        pos = np.array([400.0, 0.0, 0.0])  # beyond 0.5 * 512 from center
+        new, shifted = gaussian_map.recenter_origin(origin, pos, 1.0)
+        assert shifted
+        # new origin centers the grid on the position (snapped to the lattice)
+        center = np.asarray(new) + 512.0
+        assert np.max(np.abs(center - pos)) < 1.0
+        # a map built with the shifted origin still covers points near pos
+        pts = jnp.asarray(pos + RNG.normal(0, 5.0, (2000, 3)))
+        gmap = gaussian_map.build_map(
+            pts, jnp.ones(2000, bool), new, 1.0, capacity=2048, min_points_per_voxel=3
+        )
+        assert int(gmap.num_valid()) > 5
