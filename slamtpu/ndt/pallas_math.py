@@ -37,7 +37,9 @@ _OUT_LANES = 128  # single (8, 128) accumulator tile
 def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref):
     """Grid over point blocks; accumulates partials into one output tile.
 
-    params (SMEM, (1, 16)): R row-major(9), t(3), d1, d2, pad(2)
+    params (SMEM, (1, 16)): R row-major(9), t(3), d1, d2, gicp_mode,
+    gicp_max_mahal (mode > 0.5 switches the pair weight from the NDT
+    exponential to the trimmed GICP quadratic cost)
     ptsT (VMEM, (3, B)): body-frame points, plane layout
     megaT (VMEM, (96, B)): transposed mega rows
     out (SMEM, (1, 64)): [0]=score, [1:7]=grad, [7:43]=hess row-major,
@@ -56,6 +58,8 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref):
     t0, t1, t2 = params_ref[0, 9], params_ref[0, 10], params_ref[0, 11]
     d1 = params_ref[0, 12]
     d2 = params_ref[0, 13]
+    gicp = params_ref[0, 14] > 0.5
+    gicp_max_mahal = params_ref[0, 15]
 
     x0 = ptsT_ref[0, :]
     x1 = ptsT_ref[1, :]
@@ -86,12 +90,15 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref):
         icx2 = ic[6] * xr0 + ic[7] * xr1 + ic[8] * xr2
         mahal = jnp.maximum(xr0 * icx0 + xr1 * icx1 + xr2 * icx2, 0.0)
         exponent = 0.5 * d2 * mahal
-        ok = valid & (exponent <= MAX_EXPONENT_ARG)
+        ok = valid & jnp.where(
+            gicp, mahal <= gicp_max_mahal, exponent <= MAX_EXPONENT_ARG
+        )
         e = jnp.exp(-jnp.where(ok, exponent, 0.0))
         zero = jnp.float32(0.0)
-        score = score + jnp.sum(jnp.where(ok, -d1 * e, zero))
+        pair_score = jnp.where(gicp, -mahal, -d1 * e)
+        score = score + jnp.sum(jnp.where(ok, pair_score, zero))
         count = count + jnp.sum(jnp.where(ok, jnp.float32(1.0), zero))
-        f = d1 * d2 * e
+        f = jnp.where(gicp, jnp.float32(-2.0), d1 * d2 * e)
         f = jnp.where(ok & (jnp.abs(f) >= MIN_FACTOR), f, 0.0)
         b0 = b0 + f * icx0
         b1 = b1 + f * icx1
@@ -176,14 +183,22 @@ def gather_megaT(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
     return regmap.packed[drow].T.astype(jnp.float32)  # (96, N)
 
 
-def fused_objective(ptsT, megaT, pose: Pose3, d1, d2, hess_lambda=1e-6) -> NdtObjective:
-    """Pallas side: the fused pair math on pre-gathered mega rows."""
+def fused_objective(
+    ptsT, megaT, pose: Pose3, d1, d2, hess_lambda=1e-6,
+    gicp: bool = False, gicp_max_mahal: float = 9.0,
+) -> NdtObjective:
+    """Pallas side: the fused pair math on pre-gathered mega rows.
+
+    With ``gicp=True`` the pair weight switches to the trimmed quadratic
+    GICP cost (use a RegMap built from gicp_map; d1/d2 are ignored)."""
     N = ptsT.shape[1]
     params = jnp.concatenate(
         [
             pose.rot.astype(jnp.float32).reshape(9),
             pose.trans.astype(jnp.float32),
-            jnp.asarray([d1, d2, 0.0, 0.0], jnp.float32),
+            jnp.asarray(
+                [d1, d2, 1.0 if gicp else 0.0, gicp_max_mahal], jnp.float32
+            ),
         ]
     ).reshape(1, 16)
     out = pl.pallas_call(
@@ -223,6 +238,23 @@ def score_grad_hess_fused(
     return fused_objective(points.T.astype(jnp.float32), megaT, pose, d1, d2, hess_lambda)
 
 
+def gicp_align_fused(
+    points: jax.Array,
+    mask: jax.Array,
+    regmap: RegMap,  # built from gicp_map(...)
+    init_pose: Pose3,
+    cfg,  # NewtonConfig
+    grid_shape: tuple,
+    inner_iters: int = 1,
+    max_mahal: float = 9.0,
+):
+    """VGICP registration on the fused kernel (cf. ndt.gicp)."""
+    return newton_align_fused(
+        points, mask, regmap, init_pose, cfg, grid_shape, inner_iters,
+        _gicp=True, _gicp_max_mahal=max_mahal,
+    )
+
+
 def newton_align_fused(
     points: jax.Array,
     mask: jax.Array,
@@ -231,6 +263,8 @@ def newton_align_fused(
     cfg,  # NewtonConfig
     grid_shape: tuple,
     inner_iters: int = 1,
+    _gicp: bool = False,
+    _gicp_max_mahal: float = 9.0,
 ) -> "NewtonResult":
     """Newton registration on the fused kernel.
 
@@ -249,7 +283,10 @@ def newton_align_fused(
     n_outer = -(-cfg.max_iterations // inner_iters)
 
     def one_step(pose, megaT):
-        obj = fused_objective(ptsT, megaT, pose, d1, d2, cfg.hess_lambda)
+        obj = fused_objective(
+            ptsT, megaT, pose, d1, d2, cfg.hess_lambda,
+            gicp=_gicp, gicp_max_mahal=_gicp_max_mahal,
+        )
         step = jnp.linalg.solve(obj.hess, -obj.grad)
         step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
         norm = jnp.linalg.norm(step)

@@ -269,3 +269,57 @@ class TestFusedKernel:
             err = np.asarray(se3.local(se3.cast(gt, jnp.float32), res.pose))
             assert np.linalg.norm(err[3:]) < 0.06, (inner, err)
             assert np.linalg.norm(err[:3]) < 0.035, (inner, err)
+
+
+class TestFusedGicp:
+    def test_fused_gicp_matches_xla_gicp(self, setup):
+        from slamtpu.ndt import gicp_map, score_grad_hess_gicp
+        from slamtpu.ndt.pallas_math import BLOCK, fused_objective, gather_megaT
+
+        gmap, _, source, gt = setup
+        greg = build_regmap(gicp_map(gmap, 0.05), grid_shape=GRID)
+        greg32 = jax.tree.map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, greg
+        )
+        n = len(source)
+        n_pad = -(-n // BLOCK) * BLOCK
+        pts = np.zeros((n_pad, 3), np.float32)
+        pts[:n] = source
+        mask = np.zeros(n_pad, bool)
+        mask[:n] = True
+        pose = se3.cast(gt, jnp.float32)
+        a = score_grad_hess_gicp(
+            jnp.asarray(pts), jnp.asarray(mask), pose, greg32, GRID, max_mahal=9.0
+        )
+        megaT = gather_megaT(jnp.asarray(pts), jnp.asarray(mask), pose, greg32, GRID)
+        b = fused_objective(
+            jnp.asarray(pts.T), megaT, pose, -1.0, 2.0, gicp=True, gicp_max_mahal=9.0
+        )
+        assert int(a.n_contrib) == int(b.n_contrib)
+        np.testing.assert_allclose(float(b.score), float(a.score), rtol=2e-6)
+        np.testing.assert_allclose(np.asarray(b.grad), np.asarray(a.grad), rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(b.hess), np.asarray(a.hess), rtol=1e-4, atol=1e-1)
+
+    def test_fused_gicp_converges(self, setup):
+        from slamtpu.ndt import NewtonConfig, gicp_map
+        from slamtpu.ndt.pallas_math import BLOCK, gicp_align_fused
+
+        gmap, _, source, gt = setup
+        greg = build_regmap(gicp_map(gmap, 0.05), grid_shape=GRID)
+        greg32 = jax.tree.map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, greg
+        )
+        n = len(source)
+        n_pad = -(-n // BLOCK) * BLOCK
+        pts = np.zeros((n_pad, 3), np.float32)
+        pts[:n] = source
+        mask = np.zeros(n_pad, bool)
+        mask[:n] = True
+        init = se3.cast(se3.retract(gt, jnp.asarray([0.02, -0.03, 0.05, 0.2, -0.15, 0.1])), jnp.float32)
+        res = gicp_align_fused(
+            jnp.asarray(pts), jnp.asarray(mask), greg32, init,
+            NewtonConfig(resolution=RES, max_iterations=40, trans_eps=5e-3), GRID,
+        )
+        err = np.asarray(se3.local(se3.cast(gt, jnp.float32), res.pose))
+        assert np.linalg.norm(err[3:]) < 0.06, err
+        assert np.linalg.norm(err[:3]) < 0.035, err
