@@ -152,8 +152,6 @@ def empty_factors(
     n_pos: int,
     dtype=jnp.float64,
 ) -> Factors:
-    I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), None or (1, 3, 3))
-
     def zeros(*s):
         return jnp.zeros(s, dtype)
 
