@@ -58,7 +58,7 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref):
     t0, t1, t2 = params_ref[0, 9], params_ref[0, 10], params_ref[0, 11]
     d1 = params_ref[0, 12]
     d2 = params_ref[0, 13]
-    gicp = params_ref[0, 14] > 0.5
+    g = params_ref[0, 14]  # 1.0 = GICP mode, 0.0 = NDT
     gicp_max_mahal = params_ref[0, 15]
 
     x0 = ptsT_ref[0, :]
@@ -90,15 +90,19 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref):
         icx2 = ic[6] * xr0 + ic[7] * xr1 + ic[8] * xr2
         mahal = jnp.maximum(xr0 * icx0 + xr1 * icx1 + xr2 * icx2, 0.0)
         exponent = 0.5 * d2 * mahal
-        ok = valid & jnp.where(
-            gicp, mahal <= gicp_max_mahal, exponent <= MAX_EXPONENT_ARG
+        # mode switch as an arithmetic blend: Mosaic cannot legalize
+        # arith.select with a scalar predicate over vector operands
+        # (exact at g in {0, 1})
+        gate = g * (mahal - gicp_max_mahal) + (1.0 - g) * (
+            exponent - jnp.float32(MAX_EXPONENT_ARG)
         )
+        ok = valid & (gate <= 0.0)
         e = jnp.exp(-jnp.where(ok, exponent, 0.0))
         zero = jnp.float32(0.0)
-        pair_score = jnp.where(gicp, -mahal, -d1 * e)
+        pair_score = g * (-mahal) + (1.0 - g) * (-d1 * e)
         score = score + jnp.sum(jnp.where(ok, pair_score, zero))
         count = count + jnp.sum(jnp.where(ok, jnp.float32(1.0), zero))
-        f = jnp.where(gicp, jnp.float32(-2.0), d1 * d2 * e)
+        f = g * jnp.float32(-2.0) + (1.0 - g) * (d1 * d2 * e)
         f = jnp.where(ok & (jnp.abs(f) >= MIN_FACTOR), f, 0.0)
         b0 = b0 + f * icx0
         b1 = b1 + f * icx1
