@@ -77,9 +77,32 @@ class LigoTcApp:
         self._gravity = None
         self._prev_cloud = None
         self._trust = trust_gain_init()
-        self._win: List[dict] = []  # per-state dicts: pose, vel, bias, ins, pim
+        self._win: List[dict] = []  # per-state dicts (numpy): pose, vel, bias, ins, pim
         self._integrate = jax.jit(integrate)
         self._smooth = jax.jit(smoother.optimize, static_argnames=("cfg",))
+        # static factor skeleton (indices + fixed whitenings); gravity is set
+        # at the first keyframe from the WGS84 model
+        W = self.window
+        tpl = empty_factors(W, W - 1, W, 1, W - 1, 0)
+        tpl = tpl._replace(
+            prior_pose=tpl.prior_pose._replace(idx=jnp.arange(W, dtype=jnp.int32)),
+            between=tpl.between._replace(
+                i=jnp.arange(W - 1, dtype=jnp.int32), j=jnp.arange(1, W, dtype=jnp.int32)
+            ),
+            prior_vel=tpl.prior_vel._replace(
+                idx=jnp.arange(W, dtype=jnp.int32),
+                sqrt_info=jnp.broadcast_to(jnp.eye(3) / 0.5, (W, 3, 3)),
+            ),
+            prior_bias=tpl.prior_bias._replace(
+                idx=jnp.asarray([0], jnp.int32),
+                sqrt_info=(jnp.eye(6) / 0.05)[None],
+                active=jnp.asarray([True]),
+            ),
+            imu=tpl.imu._replace(
+                i=jnp.arange(W - 1, dtype=jnp.int32), j=jnp.arange(1, W, dtype=jnp.int32)
+            ),
+        )
+        self._factor_template = tpl
 
     def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
         for synced in self.ingest.synced_frames(replay_path):
@@ -114,6 +137,9 @@ class LigoTcApp:
             self._ref_lla = np.asarray(nav.lla)
             g_mag = float(gravity_wgs84(*[jnp.asarray(v) for v in nav.lla]))
             self._gravity = jnp.asarray([0.0, 0.0, g_mag])  # NED: g is +down
+            self._factor_template = self._factor_template._replace(
+                gravity=jnp.asarray(self._gravity, jnp.float64)
+            )
         scan = maybe_deskew(scan, synced, self._ref_lla, self.cfg.deskew)
         ins_pose = ins_pose_ned(nav, self._ref_lla)
         ins_sigma = np.concatenate([np.asarray(nav.sigma_rpy), np.asarray(nav.sigma_pos)])
@@ -124,11 +150,12 @@ class LigoTcApp:
             self._origin = jnp.asarray(np.asarray(ins_pose.trans) - grid_half, jnp.float32)
             world = se3.transform_points(ins_pose, scan.points)
             self._prev_cloud = (world, scan.mask)
+            ins_np = (np.asarray(ins_pose.rot), np.asarray(ins_pose.trans))
             self._win = [
                 dict(
-                    pose=ins_pose, vel=vel_ned, bias=jnp.zeros(6),
-                    ins=(ins_pose, np.maximum(ins_sigma, 1e-6)),
-                    ins_vel=vel_ned,
+                    pose=ins_np, vel=np.asarray(vel_ned), bias=np.zeros(6),
+                    ins=(ins_np, np.maximum(ins_sigma, 1e-6)),
+                    ins_vel=np.asarray(vel_ned),
                     pim=None, rel=None, rel_cov=None,
                 )
             ]
@@ -138,12 +165,16 @@ class LigoTcApp:
             return
 
         prev = self._win[-1]
+        prev_pose = Pose3(jnp.asarray(prev["pose"][0]), jnp.asarray(prev["pose"][1]))
         with self.timer.span("preintegrate"):
             acc, gyr, dts = self._imu_window(synced)
-            bias_prev = ImuBias(prev["bias"][:3], prev["bias"][3:])
+            bias_prev = ImuBias(
+                jnp.asarray(prev["bias"][:3]), jnp.asarray(prev["bias"][3:])
+            )
             pim = self._integrate(acc, gyr, dts, bias_prev, self.noise)
             predicted = predict(
-                NavState(prev["pose"], prev["vel"]), bias_prev, pim, self._gravity
+                NavState(prev_pose, jnp.asarray(prev["vel"])), bias_prev, pim,
+                self._gravity,
             )
         self._origin, _shifted = gaussian_map.recenter_origin(
             self._origin, np.asarray(ins_pose.trans), self.newton_cfg.resolution
@@ -168,27 +199,37 @@ class LigoTcApp:
         lidar_cov = 0.5 * (lidar_cov + lidar_cov.T)
         ev, evec = np.linalg.eigh(lidar_cov)
         lidar_cov = evec @ np.diag(np.maximum(ev, 1e-12)) @ evec.T
-        rel = se3.between(prev["pose"], res.pose)
+        rel = se3.between(prev_pose, se3.cast(res.pose, prev_pose.trans.dtype))
 
         self._trust, scale = trust_gain_update(
             self._trust, jnp.asarray(float(np.linalg.norm(np.asarray(nav.sigma_pos))))
         )
         scaled_sigma = np.maximum(ins_sigma * float(scale), 1e-6)
 
+        pim_np = dict(
+            dR=np.asarray(pim.dR), dv=np.asarray(pim.dv), dp=np.asarray(pim.dp),
+            dt=float(pim.dt), dR_dbg=np.asarray(pim.dR_dbg),
+            dv_dba=np.asarray(pim.dv_dba), dv_dbg=np.asarray(pim.dv_dbg),
+            dp_dba=np.asarray(pim.dp_dba), dp_dbg=np.asarray(pim.dp_dbg),
+            bias_hat=np.asarray(pim.bias_hat.vec()), cov=np.asarray(pim.cov),
+        )
         self._win.append(
             dict(
-                pose=res.pose, vel=predicted.vel, bias=prev["bias"],
-                ins=(ins_pose, scaled_sigma), ins_vel=vel_ned,
-                pim=pim, rel=rel, rel_cov=lidar_cov,
+                pose=(np.asarray(res.pose.rot, np.float64), np.asarray(res.pose.trans, np.float64)),
+                vel=np.asarray(predicted.vel), bias=np.asarray(prev["bias"]),
+                ins=((np.asarray(ins_pose.rot), np.asarray(ins_pose.trans)), scaled_sigma),
+                ins_vel=np.asarray(vel_ned),
+                pim=pim_np,
+                rel=(np.asarray(rel.rot, np.float64), np.asarray(rel.trans, np.float64)),
+                rel_cov=lidar_cov,
             )
         )
         if len(self._win) > self.window:
             self._win.pop(0)
 
         with self.timer.span("smoother"):
+            # _fuse writes the optimized states back into self._win
             pose_opt, vel_opt, bias_opt, cov_opt = self._fuse()
-        cur = self._win[-1]
-        cur["pose"], cur["vel"], cur["bias"] = pose_opt, vel_opt, bias_opt
         world = se3.transform_points(se3.cast(pose_opt, jnp.float32), scan.points)
         self._prev_cloud = (world, scan.mask)
         self.trajectory.append(
@@ -211,92 +252,84 @@ class LigoTcApp:
         )
 
     def _fuse(self):
+        """Window re-solve. Factor arrays are assembled in numpy and shipped
+        once — per-op eager device dispatch (~2 ms each via the tunnel) used
+        to dominate this step."""
         W = self.window
         n = len(self._win)
         pad = W - n
+        eye3, eye6, eye15 = np.eye(3), np.eye(6), np.eye(15)
+
+        def stack(items, pad_item, count=pad):
+            return np.stack([np.asarray(x, np.float64) for x in items] + [pad_item] * count)
+
         st = WindowState.identity(W)._replace(
-            rot=jnp.stack([w["pose"].rot for w in self._win] + [jnp.eye(3)] * pad),
-            trans=jnp.stack([w["pose"].trans for w in self._win] + [jnp.zeros(3)] * pad),
-            vel=jnp.stack([jnp.asarray(w["vel"], jnp.float64) for w in self._win] + [jnp.zeros(3)] * pad),
-            bias=jnp.stack([jnp.asarray(w["bias"], jnp.float64) for w in self._win] + [jnp.zeros(6)] * pad),
+            rot=jnp.asarray(stack((w["pose"][0] for w in self._win), eye3)),
+            trans=jnp.asarray(stack((w["pose"][1] for w in self._win), np.zeros(3))),
+            vel=jnp.asarray(stack((w["vel"] for w in self._win), np.zeros(3))),
+            bias=jnp.asarray(stack((w["bias"] for w in self._win), np.zeros(6))),
             active=jnp.asarray([True] * n + [False] * pad),
         )
-        factors = empty_factors(W, W - 1, W, 1, W - 1, 0)
+        factors = self._factor_template
         fp = factors.prior_pose._replace(
-            idx=jnp.arange(W, dtype=jnp.int32),
-            rot=jnp.stack([w["ins"][0].rot for w in self._win] + [jnp.eye(3)] * pad),
-            trans=jnp.stack([w["ins"][0].trans for w in self._win] + [jnp.zeros(3)] * pad),
-            sqrt_info=jnp.stack(
-                [jnp.asarray(np_sqrt_info_from_sigmas(w["ins"][1])) for w in self._win]
-                + [jnp.eye(6)] * pad
+            rot=jnp.asarray(stack((w["ins"][0][0] for w in self._win), eye3)),
+            trans=jnp.asarray(stack((w["ins"][0][1] for w in self._win), np.zeros(3))),
+            sqrt_info=jnp.asarray(
+                stack((np_sqrt_info_from_sigmas(w["ins"][1]) for w in self._win), eye6)
             ),
             active=jnp.asarray([True] * n + [False] * pad),
         )
-        # INS velocity priors (loose), bias prior on first window state
         fv = factors.prior_vel._replace(
-            idx=jnp.arange(W, dtype=jnp.int32),
-            value=jnp.stack([jnp.asarray(w["ins_vel"], jnp.float64) for w in self._win] + [jnp.zeros(3)] * pad),
-            sqrt_info=jnp.broadcast_to(jnp.eye(3) / 0.5, (W, 3, 3)),
+            value=jnp.asarray(stack((w["ins_vel"] for w in self._win), np.zeros(3))),
             active=jnp.asarray([True] * n + [False] * pad),
         )
         fbias = factors.prior_bias._replace(
-            idx=jnp.asarray([0], jnp.int32),
-            value=jnp.asarray(self._win[0]["bias"], jnp.float64)[None],
-            sqrt_info=(jnp.eye(6) / 0.05)[None],
-            active=jnp.asarray([True]),
+            value=jnp.asarray(np.asarray(self._win[0]["bias"], np.float64)[None]),
         )
-        # NDT between factors
         n_b = n - 1
-        rels = [w["rel"] for w in self._win[1:]]
-        covs = [w["rel_cov"] for w in self._win[1:]]
+        pad_b = W - 1 - n_b
         fb = factors.between._replace(
-            i=jnp.arange(W - 1, dtype=jnp.int32),
-            j=jnp.arange(1, W, dtype=jnp.int32),
-            rot=jnp.stack([r.rot for r in rels] + [jnp.eye(3)] * (W - 1 - n_b)),
-            trans=jnp.stack([r.trans for r in rels] + [jnp.zeros(3)] * (W - 1 - n_b)),
-            sqrt_info=jnp.stack(
-                [jnp.asarray(np_sqrt_info_from_cov(c)) for c in covs]
-                + [jnp.eye(6)] * (W - 1 - n_b)
+            rot=jnp.asarray(stack((w["rel"][0] for w in self._win[1:]), eye3, pad_b)),
+            trans=jnp.asarray(stack((w["rel"][1] for w in self._win[1:]), np.zeros(3), pad_b)),
+            sqrt_info=jnp.asarray(
+                stack((np_sqrt_info_from_cov(w["rel_cov"]) for w in self._win[1:]), eye6, pad_b)
             ),
-            active=jnp.asarray([True] * n_b + [False] * (W - 1 - n_b)),
+            active=jnp.asarray([True] * n_b + [False] * pad_b),
         )
-        # IMU factors
-        pims = [w["pim"] for w in self._win[1:]]
-        def stack_pim(attr, pad_val):
-            return jnp.stack([getattr(p, attr) for p in pims] + [pad_val] * (W - 1 - n_b))
+        pims = [w["pim"] for w in self._win[1:]]  # numpy dicts
+
+        def stack_pim(key, pad_val):
+            return jnp.asarray(stack((p[key] for p in pims), pad_val, pad_b))
+
         fi = factors.imu._replace(
-            i=jnp.arange(W - 1, dtype=jnp.int32),
-            j=jnp.arange(1, W, dtype=jnp.int32),
-            dR=stack_pim("dR", jnp.eye(3)),
-            dv=stack_pim("dv", jnp.zeros(3)),
-            dp=stack_pim("dp", jnp.zeros(3)),
-            dt=jnp.stack([p.dt for p in pims] + [jnp.asarray(0.0)] * (W - 1 - n_b)),
-            dR_dbg=stack_pim("dR_dbg", jnp.zeros((3, 3))),
-            dv_dba=stack_pim("dv_dba", jnp.zeros((3, 3))),
-            dv_dbg=stack_pim("dv_dbg", jnp.zeros((3, 3))),
-            dp_dba=stack_pim("dp_dba", jnp.zeros((3, 3))),
-            dp_dbg=stack_pim("dp_dbg", jnp.zeros((3, 3))),
-            bias_hat=jnp.stack(
-                [p.bias_hat.vec() for p in pims] + [jnp.zeros(6)] * (W - 1 - n_b)
+            dR=stack_pim("dR", eye3),
+            dv=stack_pim("dv", np.zeros(3)),
+            dp=stack_pim("dp", np.zeros(3)),
+            dt=jnp.asarray(np.asarray([p["dt"] for p in pims] + [0.0] * pad_b)),
+            dR_dbg=stack_pim("dR_dbg", np.zeros((3, 3))),
+            dv_dba=stack_pim("dv_dba", np.zeros((3, 3))),
+            dv_dbg=stack_pim("dv_dbg", np.zeros((3, 3))),
+            dp_dba=stack_pim("dp_dba", np.zeros((3, 3))),
+            dp_dbg=stack_pim("dp_dbg", np.zeros((3, 3))),
+            bias_hat=stack_pim("bias_hat", np.zeros(6)),
+            sqrt_info=jnp.asarray(
+                stack((np_sqrt_info_from_cov(p["cov"]) for p in pims), eye15, pad_b)
             ),
-            sqrt_info=jnp.stack(
-                [jnp.asarray(np_sqrt_info_from_cov(np.asarray(p.cov))) for p in pims]
-                + [jnp.eye(15)] * (W - 1 - n_b)
-            ),
-            active=jnp.asarray([True] * n_b + [False] * (W - 1 - n_b)),
+            active=jnp.asarray([True] * n_b + [False] * pad_b),
         )
         factors = factors._replace(
             prior_pose=fp, between=fb, prior_vel=fv, prior_bias=fbias, imu=fi,
-            gravity=jnp.asarray(self._gravity, jnp.float64),
         )
         result = self._smooth(st, factors, SmootherConfig(iterations=6))
+        state_rot = np.asarray(result.state.rot)
+        state_trans = np.asarray(result.state.trans)
+        state_vel = np.asarray(result.state.vel)
+        state_bias = np.asarray(result.state.bias)
         cur = n - 1
-        pose = Pose3(result.state.rot[cur], result.state.trans[cur])
-        vel = result.state.vel[cur]
-        bias = result.state.bias[cur]
+        pose = Pose3(jnp.asarray(state_rot[cur]), jnp.asarray(state_trans[cur]))
         cov = np.asarray(marginal_covariance(result.hessian, cur))
         for k in range(n):
-            self._win[k]["pose"] = Pose3(result.state.rot[k], result.state.trans[k])
-            self._win[k]["vel"] = result.state.vel[k]
-            self._win[k]["bias"] = result.state.bias[k]
-        return pose, vel, bias, cov
+            self._win[k]["pose"] = (state_rot[k], state_trans[k])
+            self._win[k]["vel"] = state_vel[k]
+            self._win[k]["bias"] = state_bias[k]
+        return pose, state_vel[cur], state_bias[cur], cov

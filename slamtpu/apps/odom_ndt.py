@@ -108,12 +108,29 @@ class OdomNdtApp:
         self._prev_prev_pose: Optional[Pose3] = None
         self._trust = trust_gain_init()
         # smoother ring: window poses; index of current within window
-        self._win_poses: List[Pose3] = []
-        self._win_ins: List = []  # (pose, scaled_sigmas) per state
-        self._win_between: List = []  # (rel Pose3, cov 6x6) between i-1 -> i
+        self._win_poses: List = []  # (rot np, trans np) per state
+        self._win_ins: List = []  # ((rot, trans), scaled_sigmas) per state
+        self._win_between: List = []  # ((rot, trans), cov 6x6) between i-1 -> i
         self._smooth = jax.jit(
             smoother.optimize, static_argnames=("cfg",)
         )
+        # static factor skeleton: indices and the vel/bias pins never change
+        W = self.window
+        tpl = empty_factors(W, W - 1, 1, 1, 0, 0)
+        tpl = tpl._replace(
+            prior_pose=tpl.prior_pose._replace(idx=jnp.arange(W, dtype=jnp.int32)),
+            between=tpl.between._replace(
+                i=jnp.arange(W - 1, dtype=jnp.int32),
+                j=jnp.arange(1, W, dtype=jnp.int32),
+            ),
+            prior_vel=tpl.prior_vel._replace(
+                idx=jnp.asarray([0], jnp.int32), active=jnp.asarray([True])
+            ),
+            prior_bias=tpl.prior_bias._replace(
+                idx=jnp.asarray([0], jnp.int32), active=jnp.asarray([True])
+            ),
+        )
+        self._factor_template = tpl
 
     def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
         for synced in self.ingest.synced_frames(replay_path):
@@ -221,8 +238,11 @@ class OdomNdtApp:
         self._prev_pose = ins_pose
         world = se3.transform_points(ins_pose, scan.points)
         self._prev_cloud = (world, scan.mask)
-        self._win_poses = [ins_pose]
-        self._win_ins = [(ins_pose, np.maximum(ins_sigma, 1e-6))]
+        self._win_poses = [(np.asarray(ins_pose.rot), np.asarray(ins_pose.trans))]
+        self._win_ins = [
+            ((np.asarray(ins_pose.rot), np.asarray(ins_pose.trans)),
+             np.maximum(ins_sigma, 1e-6))
+        ]
         self._win_between = []
         self.trajectory.append(
             TrajectoryEntry(
@@ -234,64 +254,58 @@ class OdomNdtApp:
         )
 
     def _fuse(self, blended_pose, rel, lidar_cov, ins_pose, scaled_sigma):
-        """Window smoother: INS priors on every state + NDT betweens."""
-        self._win_poses.append(blended_pose)
-        self._win_ins.append((ins_pose, scaled_sigma))
-        self._win_between.append((rel, lidar_cov))
+        """Window smoother: INS priors on every state + NDT betweens.
+
+        All factor arrays are assembled in numpy and shipped to the device in
+        a handful of transfers — per-op eager dispatch costs ~2 ms through
+        the device tunnel, which dominated this step when every stack/eye ran
+        on device."""
+        np_pose = lambda p: (np.asarray(p.rot, np.float64), np.asarray(p.trans, np.float64))
+        self._win_poses.append(np_pose(blended_pose))
+        self._win_ins.append((np_pose(ins_pose), np.asarray(scaled_sigma)))
+        self._win_between.append((np_pose(rel), np.asarray(lidar_cov)))
         if len(self._win_poses) > self.window:
             self._win_poses.pop(0)
             self._win_ins.pop(0)
             self._win_between.pop(0)
         W = self.window
         n = len(self._win_poses)
+        pad = W - n
+
+        def stack(items, pad_item, count):
+            return np.stack(list(items) + [pad_item] * count)
+
+        eye3, eye6 = np.eye(3), np.eye(6)
         st = WindowState.identity(W)._replace(
-            rot=jnp.stack([p.rot for p in self._win_poses] + [jnp.eye(3)] * (W - n)),
-            trans=jnp.stack([p.trans for p in self._win_poses] + [jnp.zeros(3)] * (W - n)),
-            active=jnp.asarray([True] * n + [False] * (W - n)),
+            rot=jnp.asarray(stack((r for r, _ in self._win_poses), eye3, pad)),
+            trans=jnp.asarray(stack((t for _, t in self._win_poses), np.zeros(3), pad)),
+            active=jnp.asarray([True] * n + [False] * pad),
         )
-        factors = empty_factors(W, W - 1, 1, 1, 0, 0)
-        # INS priors
+        factors = self._factor_template
         fp = factors.prior_pose._replace(
-            idx=jnp.arange(W, dtype=jnp.int32),
-            rot=jnp.stack(
-                [p.rot for p, _ in self._win_ins] + [jnp.eye(3)] * (W - n)
+            rot=jnp.asarray(stack((p[0] for p, _ in self._win_ins), eye3, pad)),
+            trans=jnp.asarray(stack((p[1] for p, _ in self._win_ins), np.zeros(3), pad)),
+            sqrt_info=jnp.asarray(
+                stack((np_sqrt_info_from_sigmas(s) for _, s in self._win_ins), eye6, pad)
             ),
-            trans=jnp.stack(
-                [p.trans for p, _ in self._win_ins] + [jnp.zeros(3)] * (W - n)
-            ),
-            sqrt_info=jnp.stack(
-                [jnp.asarray(np_sqrt_info_from_sigmas(s)) for _, s in self._win_ins]
-                + [jnp.eye(6)] * (W - n)
-            ),
-            active=jnp.asarray([True] * n + [False] * (W - n)),
+            active=jnp.asarray([True] * n + [False] * pad),
         )
-        # NDT betweens
         n_b = len(self._win_between)  # always n - 1: between k -> k+1
         fb = factors.between._replace(
-            i=jnp.arange(W - 1, dtype=jnp.int32),
-            j=jnp.arange(1, W, dtype=jnp.int32),
-            rot=jnp.stack(
-                [r.rot for r, _ in self._win_between] + [jnp.eye(3)] * (W - 1 - n_b)
-            ),
-            trans=jnp.stack(
-                [r.trans for r, _ in self._win_between] + [jnp.zeros(3)] * (W - 1 - n_b)
-            ),
-            sqrt_info=jnp.stack(
-                [jnp.asarray(np_sqrt_info_from_cov(c)) for _, c in self._win_between]
-                + [jnp.eye(6)] * (W - 1 - n_b)
+            rot=jnp.asarray(stack((r[0] for r, _ in self._win_between), eye3, W - 1 - n_b)),
+            trans=jnp.asarray(stack((r[1] for r, _ in self._win_between), np.zeros(3), W - 1 - n_b)),
+            sqrt_info=jnp.asarray(
+                stack((np_sqrt_info_from_cov(c) for _, c in self._win_between), eye6, W - 1 - n_b)
             ),
             active=jnp.asarray([True] * n_b + [False] * (W - 1 - n_b)),
         )
-        # light priors pinning vel/bias of state 0 (unused dofs in this app)
-        fv = factors.prior_vel._replace(idx=jnp.asarray([0], jnp.int32), active=jnp.asarray([True]))
-        fbias = factors.prior_bias._replace(idx=jnp.asarray([0], jnp.int32), active=jnp.asarray([True]))
-        factors = factors._replace(prior_pose=fp, between=fb, prior_vel=fv, prior_bias=fbias)
+        factors = factors._replace(prior_pose=fp, between=fb)
         result = self._smooth(st, factors, SmootherConfig(iterations=5))
+        state_rot = np.asarray(result.state.rot)
+        state_trans = np.asarray(result.state.trans)
         cur = n - 1
-        pose_opt = Pose3(result.state.rot[cur], result.state.trans[cur])
+        pose_opt = Pose3(jnp.asarray(state_rot[cur]), jnp.asarray(state_trans[cur]))
         cov = np.asarray(marginal_covariance(result.hessian, cur))
-        # write back optimized window poses
-        self._win_poses = [
-            Pose3(result.state.rot[k], result.state.trans[k]) for k in range(n)
-        ]
+        # write back optimized window poses (host copies)
+        self._win_poses = [(state_rot[k], state_trans[k]) for k in range(n)]
         return pose_opt, cov
