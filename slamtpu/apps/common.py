@@ -28,16 +28,42 @@ from ..runtime.sync import SyncedFrame, Synchronizer
 log = logging.getLogger("slamtpu.apps")
 
 
+def np_quat_to_rot(q) -> np.ndarray:
+    """Host numpy port of core.so3.quat_to_rot ([w,x,y,z]; eager jax ops
+    cost ~6 ms each through the device tunnel on this per-keyframe path)."""
+    qw, qx, qy, qz = np.asarray(q, np.float64)
+    n = qw * qw + qx * qx + qy * qy + qz * qz
+    s = 2.0 / n if n > 0 else 2.0
+    wx, wy, wz = s * qw * qx, s * qw * qy, s * qw * qz
+    xx, xy, xz = s * qx * qx, s * qx * qy, s * qx * qz
+    yy, yz, zz = s * qy * qy, s * qy * qz, s * qz * qz
+    return np.array(
+        [
+            [1.0 - (yy + zz), xy - wz, xz + wy],
+            [xy + wz, 1.0 - (xx + zz), yz - wx],
+            [xz - wy, yz + wx, 1.0 - (xx + yy)],
+        ]
+    )
+
+
+def np_between(a, b):
+    """Relative pose a^-1 b for host (rot, trans) numpy tuples —
+    (Ra^T Rb, Ra^T (tb - ta)), GTSAM Pose3::between semantics."""
+    Ra, ta = np.asarray(a[0], np.float64), np.asarray(a[1], np.float64)
+    Rb, tb = np.asarray(b[0], np.float64), np.asarray(b[1], np.float64)
+    return Ra.T @ Rb, Ra.T @ (tb - ta)
+
+
 def ins_pose_ned(nav: NavFrame, ref_lla: np.ndarray) -> Pose3:
     """NED pose of the body from a NavFrame: position via lla2ned around the
     reference origin, attitude from the fused quaternion (the INS seed used
     throughout the reference apps, e.g. run/pipeline_lo_svn.cpp:359-376).
 
-    Geodesy runs host-side in numpy float64 — float32 latitude quantizes
-    positions by ~0.6 m (see slamtpu.ins.geodesy)."""
+    Runs fully host-side in numpy float64 — float32 latitude quantizes
+    positions by ~0.6 m (see slamtpu.ins.geodesy), and the Pose3 leaves stay
+    numpy so downstream host math costs no device round trips."""
     ned = geodesy.lla2ned(np.asarray(nav.lla, np.float64), np.asarray(ref_lla, np.float64))
-    rot = np.asarray(so3.quat_to_rot(jnp.asarray(nav.quat)))
-    return Pose3(jnp.asarray(rot, jnp.float32), jnp.asarray(ned, jnp.float32))
+    return Pose3(np_quat_to_rot(nav.quat), ned)
 
 
 @dataclasses.dataclass

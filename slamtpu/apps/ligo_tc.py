@@ -26,6 +26,8 @@ import numpy as np
 
 from ..core import se3
 from ..core.se3 import Pose3
+from functools import partial
+
 from ..fusion import (
     ImuBias,
     ImuNoise,
@@ -36,22 +38,74 @@ from ..fusion import (
     integrate,
     marginal_covariance,
     predict,
-    trust_gain_init,
-    trust_gain_update,
 )
-from ..fusion import smoother
+from ..fusion import robust, smoother
 from ..ins.gravity import gravity_wgs84
 from ..mapping import gaussian_map
 from ..ndt import NewtonConfig
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
 from .common import (IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew,
-    np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
+    np_between, np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
 from .odom_ndt import _register_step
+from .packed import PackedStep
 
 log = logging.getLogger("slamtpu.ligo_tc")
 
 IMU_WINDOW_CAPACITY = 64  # padded samples per scan interval (50 Hz x ~0.2 s)
+
+
+@partial(jax.jit, static_argnames=("cfg", "capacity", "min_points", "grid_shape"))
+def _ligo_step(
+    prev_points,  # (N, 3) previous keyframe cloud, BODY frame
+    prev_mask,
+    new_points,  # (N, 3) body frame
+    new_mask,
+    imu,  # (IMU_WINDOW_CAPACITY, 7): [accel(3), gyro(3), dt]
+    flat,  # (27,): [prev_opt_pose(12), vel(3), bias(6), gravity(3), origin(3)]
+    noise: ImuNoise,
+    cfg: NewtonConfig,
+    capacity: int,
+    min_points: int,
+    grid_shape: tuple,
+):
+    """One fully-fused tightly-coupled keyframe (pipeline_ligo_tc.cpp:
+    429-542): preintegrate the IMU window, forward-predict, transform the
+    target cloud to its optimized pose, build the NDT map, register from the
+    IMU prediction. Small inputs ride in two packed arrays; the result is
+    ONE flat vector [pim(292), predicted_vel(3), pose(12), hessian(36),
+    score, iterations, converged] — per-array transfers cost ~6 ms each via
+    the TPU tunnel and used to dominate keyframe time."""
+    f32 = jnp.float32
+    prev_pose = Pose3(flat[0:9].reshape(3, 3), flat[9:12])
+    vel = flat[12:15]
+    bias = ImuBias(flat[15:18], flat[18:21])
+    gravity = flat[21:24]
+    origin = flat[24:27].astype(f32)
+    pim = integrate(imu[:, 0:3], imu[:, 3:6], imu[:, 6], bias, noise)
+    predicted = predict(NavState(prev_pose, vel), bias, pim, gravity)
+    res = _register_step(
+        se3.transform_points(se3.cast(prev_pose, f32), prev_points),
+        prev_mask, new_points, new_mask,
+        se3.cast(predicted.pose, f32), origin,
+        cfg, capacity, min_points, grid_shape,
+    )
+    dt = flat.dtype
+    return jnp.concatenate(
+        [
+            pim.dR.ravel(), pim.dv, pim.dp, jnp.reshape(pim.dt, (1,)),
+            pim.dR_dbg.ravel(), pim.dv_dba.ravel(), pim.dv_dbg.ravel(),
+            pim.dp_dba.ravel(), pim.dp_dbg.ravel(),
+            pim.bias_hat.vec(), pim.cov.ravel(),
+            predicted.vel,
+            res.pose.rot.ravel().astype(dt), res.pose.trans.astype(dt),
+            res.hessian.ravel().astype(dt),
+            jnp.stack(
+                [res.score.astype(dt), res.iterations.astype(dt),
+                 res.converged.astype(dt)]
+            ),
+        ]
+    )
 
 
 @dataclasses.dataclass
@@ -76,10 +130,9 @@ class LigoTcApp:
         self._origin = None
         self._gravity = None
         self._prev_cloud = None
-        self._trust = trust_gain_init()
+        self._trust = robust.trust_gain_init_np()
         self._win: List[dict] = []  # per-state dicts (numpy): pose, vel, bias, ins, pim
-        self._integrate = jax.jit(integrate)
-        self._smooth = jax.jit(smoother.optimize, static_argnames=("cfg",))
+        self._fuse_step = PackedStep(self._fuse_device)
         # static factor skeleton (indices + fixed whitenings); gravity is set
         # at the first keyframe from the WGS84 model
         W = self.window
@@ -112,22 +165,21 @@ class LigoTcApp:
         return self.trajectory
 
     def _imu_window(self, synced):
-        """Padded (accel, gyro, dts) arrays from the scan's INS samples,
-        static biases removed (imu config, compcallback.cpp:28-157)."""
+        """Padded (64, 7) [accel(3), gyro(3), dt] window from the scan's INS
+        samples, static biases removed (imu config, compcallback.cpp:28-157).
+        One array so it ships to the device in a single transfer."""
         samples = synced.ins
-        acc = np.zeros((IMU_WINDOW_CAPACITY, 3))
-        gyr = np.zeros((IMU_WINDOW_CAPACITY, 3))
-        dts = np.zeros(IMU_WINDOW_CAPACITY)
+        imu = np.zeros((IMU_WINDOW_CAPACITY, 7))
         k = 0
         for a, b in zip(samples, samples[1:]):
             if k >= IMU_WINDOW_CAPACITY:
                 log.warning("IMU window overflow (%d samples)", len(samples))
                 break
-            acc[k] = np.asarray(a.imu_accel) - self.cfg.imu.static_bias_accel
-            gyr[k] = np.asarray(a.imu_gyro) - self.cfg.imu.static_bias_gyro
-            dts[k] = max(b.t - a.t, 0.0)
+            imu[k, 0:3] = np.asarray(a.imu_accel) - self.cfg.imu.static_bias_accel
+            imu[k, 3:6] = np.asarray(a.imu_gyro) - self.cfg.imu.static_bias_gyro
+            imu[k, 6] = max(b.t - a.t, 0.0)
             k += 1
-        return jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts)
+        return imu
 
     def process(self, synced):
         with self.timer.span("project"):
@@ -136,26 +188,25 @@ class LigoTcApp:
         if self._ref_lla is None:
             self._ref_lla = np.asarray(nav.lla)
             g_mag = float(gravity_wgs84(*[jnp.asarray(v) for v in nav.lla]))
-            self._gravity = jnp.asarray([0.0, 0.0, g_mag])  # NED: g is +down
+            self._gravity = np.array([0.0, 0.0, g_mag])  # NED: g is +down
             self._factor_template = self._factor_template._replace(
-                gravity=jnp.asarray(self._gravity, jnp.float64)
+                gravity=jnp.asarray(self._gravity)
             )
         scan = maybe_deskew(scan, synced, self._ref_lla, self.cfg.deskew)
         ins_pose = ins_pose_ned(nav, self._ref_lla)
+        ins_np = (np.asarray(ins_pose.rot, np.float64), np.asarray(ins_pose.trans, np.float64))
         ins_sigma = np.concatenate([np.asarray(nav.sigma_rpy), np.asarray(nav.sigma_pos)])
-        vel_ned = jnp.asarray(np.asarray(nav.vel_ned))
+        vel_ned = np.asarray(nav.vel_ned, np.float64)
 
         if self._prev_cloud is None:
             grid_half = 512.0 * self.newton_cfg.resolution
-            self._origin = jnp.asarray(np.asarray(ins_pose.trans) - grid_half, jnp.float32)
-            world = se3.transform_points(ins_pose, scan.points)
-            self._prev_cloud = (world, scan.mask)
-            ins_np = (np.asarray(ins_pose.rot), np.asarray(ins_pose.trans))
+            self._origin = ins_np[1] - grid_half
+            self._prev_cloud = (scan.points, scan.mask)  # body frame
             self._win = [
                 dict(
-                    pose=ins_np, vel=np.asarray(vel_ned), bias=np.zeros(6),
+                    pose=ins_np, vel=vel_ned, bias=np.zeros(6),
                     ins=(ins_np, np.maximum(ins_sigma, 1e-6)),
-                    ins_vel=np.asarray(vel_ned),
+                    ins_vel=vel_ned,
                     pim=None, rel=None, rel_cov=None,
                 )
             ]
@@ -165,63 +216,62 @@ class LigoTcApp:
             return
 
         prev = self._win[-1]
-        prev_pose = Pose3(jnp.asarray(prev["pose"][0]), jnp.asarray(prev["pose"][1]))
-        with self.timer.span("preintegrate"):
-            acc, gyr, dts = self._imu_window(synced)
-            bias_prev = ImuBias(
-                jnp.asarray(prev["bias"][:3]), jnp.asarray(prev["bias"][3:])
-            )
-            pim = self._integrate(acc, gyr, dts, bias_prev, self.noise)
-            predicted = predict(
-                NavState(prev_pose, jnp.asarray(prev["vel"])), bias_prev, pim,
-                self._gravity,
-            )
         self._origin, _shifted = gaussian_map.recenter_origin(
-            self._origin, np.asarray(ins_pose.trans), self.newton_cfg.resolution
+            self._origin, ins_np[1], self.newton_cfg.resolution
+        )
+        imu = self._imu_window(synced)
+        flat = np.concatenate(
+            [
+                np.asarray(prev["pose"][0], np.float64).ravel(),
+                np.asarray(prev["pose"][1], np.float64),
+                np.asarray(prev["vel"], np.float64),
+                np.asarray(prev["bias"], np.float64),
+                self._gravity,
+                np.asarray(self._origin, np.float64),
+            ]
         )
         with self.timer.span("ndt"):
-            res = _register_step(
-                self._prev_cloud[0],
-                self._prev_cloud[1],
-                scan.points,
-                scan.mask,
-                se3.cast(predicted.pose, jnp.float32),
-                self._origin,
-                self.newton_cfg,
-                self.cfg.register.map_capacity,
-                self.cfg.register.min_points_per_voxel,
-                tuple(self.cfg.register.reg_grid_shape)
-                if self.cfg.register.use_regmap
-                else None,
+            out = np.asarray(
+                _ligo_step(
+                    self._prev_cloud[0], self._prev_cloud[1],
+                    scan.points, scan.mask,
+                    imu, flat, self.noise,
+                    self.newton_cfg,
+                    self.cfg.register.map_capacity,
+                    self.cfg.register.min_points_per_voxel,
+                    tuple(self.cfg.register.reg_grid_shape)
+                    if self.cfg.register.use_regmap
+                    else None,
+                ),
+                np.float64,
             )
-        H = np.asarray(res.hessian, np.float64)
+        pim_np = dict(
+            dR=out[0:9].reshape(3, 3), dv=out[9:12], dp=out[12:15],
+            dt=float(out[15]), dR_dbg=out[16:25].reshape(3, 3),
+            dv_dba=out[25:34].reshape(3, 3), dv_dbg=out[34:43].reshape(3, 3),
+            dp_dba=out[43:52].reshape(3, 3), dp_dbg=out[52:61].reshape(3, 3),
+            bias_hat=out[61:67], cov=out[67:292].reshape(15, 15),
+        )
+        predicted_vel = out[292:295]
+        res_pose = (out[295:304].reshape(3, 3), out[304:307])
+        H = out[307:343].reshape(6, 6)
+        ndt_score, ndt_iters, ndt_converged = out[343:346]
         lidar_cov = -np.linalg.inv(H + 1e-6 * np.eye(6))
         lidar_cov = 0.5 * (lidar_cov + lidar_cov.T)
         ev, evec = np.linalg.eigh(lidar_cov)
         lidar_cov = evec @ np.diag(np.maximum(ev, 1e-12)) @ evec.T
-        rel = se3.between(prev_pose, se3.cast(res.pose, prev_pose.trans.dtype))
+        rel = np_between(prev["pose"], res_pose)
 
-        self._trust, scale = trust_gain_update(
-            self._trust, jnp.asarray(float(np.linalg.norm(np.asarray(nav.sigma_pos))))
+        self._trust, scale = robust.trust_gain_update_np(
+            self._trust, float(np.linalg.norm(np.asarray(nav.sigma_pos)))
         )
         scaled_sigma = np.maximum(ins_sigma * float(scale), 1e-6)
 
-        pim_np = dict(
-            dR=np.asarray(pim.dR), dv=np.asarray(pim.dv), dp=np.asarray(pim.dp),
-            dt=float(pim.dt), dR_dbg=np.asarray(pim.dR_dbg),
-            dv_dba=np.asarray(pim.dv_dba), dv_dbg=np.asarray(pim.dv_dbg),
-            dp_dba=np.asarray(pim.dp_dba), dp_dbg=np.asarray(pim.dp_dbg),
-            bias_hat=np.asarray(pim.bias_hat.vec()), cov=np.asarray(pim.cov),
-        )
         self._win.append(
             dict(
-                pose=(np.asarray(res.pose.rot, np.float64), np.asarray(res.pose.trans, np.float64)),
-                vel=np.asarray(predicted.vel), bias=np.asarray(prev["bias"]),
-                ins=((np.asarray(ins_pose.rot), np.asarray(ins_pose.trans)), scaled_sigma),
-                ins_vel=np.asarray(vel_ned),
-                pim=pim_np,
-                rel=(np.asarray(rel.rot, np.float64), np.asarray(rel.trans, np.float64)),
-                rel_cov=lidar_cov,
+                pose=res_pose, vel=predicted_vel, bias=np.asarray(prev["bias"]),
+                ins=(ins_np, scaled_sigma), ins_vel=vel_ned,
+                pim=pim_np, rel=rel, rel_cov=lidar_cov,
             )
         )
         if len(self._win) > self.window:
@@ -230,11 +280,11 @@ class LigoTcApp:
         with self.timer.span("smoother"):
             # _fuse writes the optimized states back into self._win
             pose_opt, vel_opt, bias_opt, cov_opt = self._fuse()
-        world = se3.transform_points(se3.cast(pose_opt, jnp.float32), scan.points)
-        self._prev_cloud = (world, scan.mask)
+        self._prev_cloud = (scan.points, scan.mask)  # body; _ligo_step transforms
         self.trajectory.append(
             TrajectoryEntry(
-                synced.t_end, synced.scan.frame_id, pose_opt, ins_pose, cov_opt
+                synced.t_end, synced.scan.frame_id,
+                Pose3(pose_opt[0], pose_opt[1]), ins_pose, cov_opt,
             )
         )
         self.stats.add(
@@ -242,19 +292,51 @@ class LigoTcApp:
                 frame_id=synced.scan.frame_id,
                 timestamp=synced.t_end,
                 num_points=int(scan.num_points),
-                ndt_iterations=int(res.iterations),
-                converged=bool(res.converged),
-                score=float(res.score),
+                ndt_iterations=int(ndt_iters),
+                converged=bool(ndt_converged > 0.5),
+                score=float(ndt_score),
                 ins_sigma=ins_sigma,
                 scaled_sigma=scaled_sigma,
                 lidar_sigma=np.sqrt(np.maximum(np.diag(lidar_cov), 0.0)),
             )
         )
 
+    def _fuse_device(self, a):
+        """Device half of the window re-solve (traced once by PackedStep)."""
+        tpl = self._factor_template
+        st = WindowState(
+            rot=a["rot"], trans=a["trans"], vel=a["vel"], bias=a["bias"],
+            active=a["active"],
+        )
+        factors = tpl._replace(
+            prior_pose=tpl.prior_pose._replace(
+                rot=a["fp_rot"], trans=a["fp_trans"],
+                sqrt_info=a["fp_si"], active=a["active"],
+            ),
+            prior_vel=tpl.prior_vel._replace(value=a["fv_val"], active=a["active"]),
+            prior_bias=tpl.prior_bias._replace(value=a["fbias_val"]),
+            between=tpl.between._replace(
+                rot=a["fb_rot"], trans=a["fb_trans"],
+                sqrt_info=a["fb_si"], active=a["b_active"],
+            ),
+            imu=tpl.imu._replace(
+                dR=a["dR"], dv=a["dv"], dp=a["dp"], dt=a["dt"],
+                dR_dbg=a["dR_dbg"], dv_dba=a["dv_dba"], dv_dbg=a["dv_dbg"],
+                dp_dba=a["dp_dba"], dp_dbg=a["dp_dbg"], bias_hat=a["bias_hat"],
+                sqrt_info=a["fi_si"], active=a["b_active"],
+            ),
+        )
+        result = smoother.optimize(st, factors, SmootherConfig(iterations=6))
+        cov = marginal_covariance(result.hessian, a["cur"])
+        return dict(
+            rot=result.state.rot, trans=result.state.trans,
+            vel=result.state.vel, bias=result.state.bias, cov=cov,
+        )
+
     def _fuse(self):
         """Window re-solve. Factor arrays are assembled in numpy and shipped
-        once — per-op eager device dispatch (~2 ms each via the tunnel) used
-        to dominate this step."""
+        as ONE packed vector (PackedStep) — per-array transfers cost ~6 ms
+        each through the device tunnel and used to dominate this step."""
         W = self.window
         n = len(self._win)
         pad = W - n
@@ -263,73 +345,50 @@ class LigoTcApp:
         def stack(items, pad_item, count=pad):
             return np.stack([np.asarray(x, np.float64) for x in items] + [pad_item] * count)
 
-        st = WindowState.identity(W)._replace(
-            rot=jnp.asarray(stack((w["pose"][0] for w in self._win), eye3)),
-            trans=jnp.asarray(stack((w["pose"][1] for w in self._win), np.zeros(3))),
-            vel=jnp.asarray(stack((w["vel"] for w in self._win), np.zeros(3))),
-            bias=jnp.asarray(stack((w["bias"] for w in self._win), np.zeros(6))),
-            active=jnp.asarray([True] * n + [False] * pad),
-        )
-        factors = self._factor_template
-        fp = factors.prior_pose._replace(
-            rot=jnp.asarray(stack((w["ins"][0][0] for w in self._win), eye3)),
-            trans=jnp.asarray(stack((w["ins"][0][1] for w in self._win), np.zeros(3))),
-            sqrt_info=jnp.asarray(
-                stack((np_sqrt_info_from_sigmas(w["ins"][1]) for w in self._win), eye6)
-            ),
-            active=jnp.asarray([True] * n + [False] * pad),
-        )
-        fv = factors.prior_vel._replace(
-            value=jnp.asarray(stack((w["ins_vel"] for w in self._win), np.zeros(3))),
-            active=jnp.asarray([True] * n + [False] * pad),
-        )
-        fbias = factors.prior_bias._replace(
-            value=jnp.asarray(np.asarray(self._win[0]["bias"], np.float64)[None]),
-        )
         n_b = n - 1
         pad_b = W - 1 - n_b
-        fb = factors.between._replace(
-            rot=jnp.asarray(stack((w["rel"][0] for w in self._win[1:]), eye3, pad_b)),
-            trans=jnp.asarray(stack((w["rel"][1] for w in self._win[1:]), np.zeros(3), pad_b)),
-            sqrt_info=jnp.asarray(
-                stack((np_sqrt_info_from_cov(w["rel_cov"]) for w in self._win[1:]), eye6, pad_b)
-            ),
-            active=jnp.asarray([True] * n_b + [False] * pad_b),
-        )
         pims = [w["pim"] for w in self._win[1:]]  # numpy dicts
 
         def stack_pim(key, pad_val):
-            return jnp.asarray(stack((p[key] for p in pims), pad_val, pad_b))
+            return stack((p[key] for p in pims), pad_val, pad_b)
 
-        fi = factors.imu._replace(
+        args = dict(
+            rot=stack((w["pose"][0] for w in self._win), eye3),
+            trans=stack((w["pose"][1] for w in self._win), np.zeros(3)),
+            vel=stack((w["vel"] for w in self._win), np.zeros(3)),
+            bias=stack((w["bias"] for w in self._win), np.zeros(6)),
+            active=np.asarray([True] * n + [False] * pad),
+            fp_rot=stack((w["ins"][0][0] for w in self._win), eye3),
+            fp_trans=stack((w["ins"][0][1] for w in self._win), np.zeros(3)),
+            fp_si=stack((np_sqrt_info_from_sigmas(w["ins"][1]) for w in self._win), eye6),
+            fv_val=stack((w["ins_vel"] for w in self._win), np.zeros(3)),
+            fbias_val=np.asarray(self._win[0]["bias"], np.float64)[None],
+            fb_rot=stack((w["rel"][0] for w in self._win[1:]), eye3, pad_b),
+            fb_trans=stack((w["rel"][1] for w in self._win[1:]), np.zeros(3), pad_b),
+            fb_si=stack((np_sqrt_info_from_cov(w["rel_cov"]) for w in self._win[1:]), eye6, pad_b),
+            b_active=np.asarray([True] * n_b + [False] * pad_b),
             dR=stack_pim("dR", eye3),
             dv=stack_pim("dv", np.zeros(3)),
             dp=stack_pim("dp", np.zeros(3)),
-            dt=jnp.asarray(np.asarray([p["dt"] for p in pims] + [0.0] * pad_b)),
+            dt=np.asarray([p["dt"] for p in pims] + [0.0] * pad_b),
             dR_dbg=stack_pim("dR_dbg", np.zeros((3, 3))),
             dv_dba=stack_pim("dv_dba", np.zeros((3, 3))),
             dv_dbg=stack_pim("dv_dbg", np.zeros((3, 3))),
             dp_dba=stack_pim("dp_dba", np.zeros((3, 3))),
             dp_dbg=stack_pim("dp_dbg", np.zeros((3, 3))),
             bias_hat=stack_pim("bias_hat", np.zeros(6)),
-            sqrt_info=jnp.asarray(
-                stack((np_sqrt_info_from_cov(p["cov"]) for p in pims), eye15, pad_b)
-            ),
-            active=jnp.asarray([True] * n_b + [False] * pad_b),
+            fi_si=stack((np_sqrt_info_from_cov(p["cov"]) for p in pims), eye15, pad_b),
+            cur=np.int32(n - 1),
         )
-        factors = factors._replace(
-            prior_pose=fp, between=fb, prior_vel=fv, prior_bias=fbias, imu=fi,
-        )
-        result = self._smooth(st, factors, SmootherConfig(iterations=6))
-        state_rot = np.asarray(result.state.rot)
-        state_trans = np.asarray(result.state.trans)
-        state_vel = np.asarray(result.state.vel)
-        state_bias = np.asarray(result.state.bias)
+        out = self._fuse_step(args)
+        state_rot = np.asarray(out["rot"], np.float64)
+        state_trans = np.asarray(out["trans"], np.float64)
+        state_vel = np.asarray(out["vel"], np.float64)
+        state_bias = np.asarray(out["bias"], np.float64)
+        cov = np.asarray(out["cov"], np.float64)
         cur = n - 1
-        pose = Pose3(jnp.asarray(state_rot[cur]), jnp.asarray(state_trans[cur]))
-        cov = np.asarray(marginal_covariance(result.hessian, cur))
         for k in range(n):
             self._win[k]["pose"] = (state_rot[k], state_trans[k])
             self._win[k]["vel"] = state_vel[k]
             self._win[k]["bias"] = state_bias[k]
-        return pose, state_vel[cur], state_bias[cur], cov
+        return (state_rot[cur], state_trans[cur]), state_vel[cur], state_bias[cur], cov

@@ -29,8 +29,6 @@ from ..fusion import (
     WindowState,
     empty_factors,
     marginal_covariance,
-    trust_gain_init,
-    trust_gain_update,
 )
 from ..fusion import robust, smoother
 from ..mapping import gaussian_map
@@ -38,7 +36,8 @@ from ..ndt import NewtonConfig, newton_align
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
 from .common import (IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew,
-    np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
+    np_between, np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
+from .packed import PackedStep
 
 log = logging.getLogger("slamtpu.odom_ndt")
 
@@ -81,6 +80,63 @@ def _register_step(
     return newton_align_reg(new_points, new_mask, regmap, init_guess, cfg, grid_shape)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "capacity", "min_points", "grid_shape", "max_td", "max_rd"),
+)
+def _odom_step(
+    prev_points,  # (N, 3) previous keyframe cloud, BODY frame
+    prev_mask,
+    new_points,  # (N, 3) body frame
+    new_mask,
+    flat,  # (28,) [prev_opt_pose(12), prev_prev_pose(12), have_pp(1), origin(3)]
+    cfg: NewtonConfig,
+    capacity: int,
+    min_points: int,
+    grid_shape: tuple,
+    max_td: float,
+    max_rd: float,
+):
+    """One fully-fused odometry keyframe (pipeline.cpp:432-592): transform
+    the target cloud to its optimized world pose, build the NDT map,
+    register from the constant-velocity guess, deviation-gate + blend.
+
+    All small inputs ride in a single packed vector and the result comes
+    back as one (52,) vector [blended(12), hessian(36), score, iterations,
+    converged, w] — per-array transfers cost ~6 ms each via the TPU tunnel
+    and used to dominate keyframe time."""
+    f32 = jnp.float32
+    prev = Pose3(flat[0:9].reshape(3, 3).astype(f32), flat[9:12].astype(f32))
+    pp = Pose3(flat[12:21].reshape(3, 3).astype(f32), flat[21:24].astype(f32))
+    have_pp = flat[24] > 0.5
+    origin = flat[25:28].astype(f32)
+    target = se3.transform_points(prev, prev_points)
+    guess_cv = robust.constant_velocity_predict(pp, prev)
+    guess = jax.tree.map(
+        lambda a, b: jnp.where(have_pp, a, b), guess_cv, prev
+    )
+    res = _register_step(
+        target, prev_mask, new_points, new_mask, guess, origin,
+        cfg, capacity, min_points, grid_shape,
+    )
+    blended, w = robust.deviation_gated_blend(guess, res.pose, max_td, max_rd)
+    return jnp.concatenate(
+        [
+            blended.rot.ravel().astype(f32),
+            blended.trans.astype(f32),
+            res.hessian.ravel().astype(f32),
+            jnp.stack(
+                [
+                    res.score.astype(f32),
+                    res.iterations.astype(f32),
+                    res.converged.astype(f32),
+                    w.astype(f32),
+                ]
+            ),
+        ]
+    )
+
+
 @dataclasses.dataclass
 class OdomNdtApp:
     cfg: PipelineConfig
@@ -102,18 +158,16 @@ class OdomNdtApp:
         self.stats = StatsArchive()
         self.timer = StageTimer()
         self._ref_lla: Optional[np.ndarray] = None
-        self._origin = None
-        self._prev_cloud = None  # (points_world, mask) of previous keyframe
-        self._prev_pose: Optional[Pose3] = None
-        self._prev_prev_pose: Optional[Pose3] = None
-        self._trust = trust_gain_init()
+        self._origin = None  # numpy (3,)
+        self._prev_cloud = None  # (points_body, mask) of previous keyframe (device)
+        self._prev_pose = None  # (rot, trans) numpy, optimized world pose
+        self._prev_prev_pose = None
+        self._trust = robust.trust_gain_init_np()
         # smoother ring: window poses; index of current within window
         self._win_poses: List = []  # (rot np, trans np) per state
         self._win_ins: List = []  # ((rot, trans), scaled_sigmas) per state
         self._win_between: List = []  # ((rot, trans), cov 6x6) between i-1 -> i
-        self._smooth = jax.jit(
-            smoother.optimize, static_argnames=("cfg",)
-        )
+        self._fuse_step = PackedStep(self._fuse_device)
         # static factor skeleton: indices and the vel/bias pins never change
         W = self.window
         tpl = empty_factors(W, W - 1, 1, 1, 0, 0)
@@ -152,50 +206,57 @@ class OdomNdtApp:
         if self._prev_cloud is None:
             # first keyframe: INS prior only (pipeline.cpp:532-543)
             grid_half = 512.0 * self.newton_cfg.resolution
-            self._origin = jnp.asarray(np.asarray(ins_pose.trans) - grid_half, jnp.float32)
+            self._origin = np.asarray(ins_pose.trans, np.float64) - grid_half
             self._start(ins_pose, ins_sigma, synced, scan)
             return
-
-        # constant-velocity initial guess (pipeline.cpp:763-770)
-        if self._prev_prev_pose is not None:
-            guess = robust.constant_velocity_predict(self._prev_prev_pose, self._prev_pose)
-        else:
-            guess = self._prev_pose
-        guess = se3.cast(guess, jnp.float32)  # NDT path runs f32
 
         self._origin, _shifted = gaussian_map.recenter_origin(
             self._origin, np.asarray(ins_pose.trans), self.newton_cfg.resolution
         )
+        # pack the guess poses + origin; run register+gate+blend as ONE
+        # device step (pipeline.cpp:432-592)
+        prev = self._prev_pose
+        pp = self._prev_prev_pose if self._prev_prev_pose is not None else prev
+        flat = np.concatenate(
+            [
+                np.asarray(prev[0], np.float64).ravel(), np.asarray(prev[1], np.float64),
+                np.asarray(pp[0], np.float64).ravel(), np.asarray(pp[1], np.float64),
+                [1.0 if self._prev_prev_pose is not None else 0.0],
+                np.asarray(self._origin, np.float64),
+            ]
+        ).astype(np.float32)
         with self.timer.span("ndt"):
-            res = _register_step(
-                self._prev_cloud[0],
-                self._prev_cloud[1],
-                scan.points,
-                scan.mask,
-                guess,
-                self._origin,
-                self.newton_cfg,
-                self.cfg.register.map_capacity,
-                self.cfg.register.min_points_per_voxel,
-                tuple(self.cfg.register.reg_grid_shape)
-                if self.cfg.register.use_regmap
-                else None,
+            out = np.asarray(
+                _odom_step(
+                    self._prev_cloud[0],
+                    self._prev_cloud[1],
+                    scan.points,
+                    scan.mask,
+                    flat,
+                    self.newton_cfg,
+                    self.cfg.register.map_capacity,
+                    self.cfg.register.min_points_per_voxel,
+                    tuple(self.cfg.register.reg_grid_shape)
+                    if self.cfg.register.use_regmap
+                    else None,
+                    self.max_trans_deviation,
+                    self.max_rot_deviation,
+                ),
+                np.float64,
             )
-        # deviation gate + blend (pipeline.cpp:570-592)
-        blended, w = robust.deviation_gated_blend(
-            guess, res.pose, self.max_trans_deviation, self.max_rot_deviation
-        )
+        blended = (out[0:9].reshape(3, 3), out[9:12])
+        H = out[12:48].reshape(6, 6)
+        ndt_score, ndt_iters, ndt_converged, w = out[48:52]
         # LiDAR covariance from the Hessian (pipeline.cpp:594-603)
-        H = np.asarray(res.hessian, np.float64)
         lidar_cov = -np.linalg.inv(H + 1e-6 * np.eye(6))
         lidar_cov = 0.5 * (lidar_cov + lidar_cov.T)
         ev, evec = np.linalg.eigh(lidar_cov)
         lidar_cov = evec @ np.diag(np.maximum(ev, 1e-12)) @ evec.T
-        rel = se3.between(self._prev_pose, blended)
+        rel = np_between(self._prev_pose, blended)
 
         # trust-gain INS prior (pipeline.cpp:637-665); insChecker = sigma norm
-        self._trust, scale = trust_gain_update(
-            self._trust, jnp.asarray(float(np.linalg.norm(np.asarray(nav.sigma_pos))))
+        self._trust, scale = robust.trust_gain_update_np(
+            self._trust, float(np.linalg.norm(np.asarray(nav.sigma_pos)))
         )
         scaled_sigma = ins_sigma * float(scale)
         scaled_sigma = np.maximum(scaled_sigma, 1e-6)
@@ -205,13 +266,12 @@ class OdomNdtApp:
 
         self._prev_prev_pose = self._prev_pose
         self._prev_pose = pose_opt
-        world = se3.transform_points(se3.cast(pose_opt, jnp.float32), scan.points)
-        self._prev_cloud = (world, scan.mask)
+        self._prev_cloud = (scan.points, scan.mask)  # body frame; _odom_step transforms
         self.trajectory.append(
             TrajectoryEntry(
                 timestamp=synced.t_end,
                 frame_id=synced.scan.frame_id,
-                pose=pose_opt,
+                pose=Pose3(pose_opt[0], pose_opt[1]),
                 ins_pose=ins_pose,
                 covariance=cov_opt,
             )
@@ -221,9 +281,9 @@ class OdomNdtApp:
                 frame_id=synced.scan.frame_id,
                 timestamp=synced.t_end,
                 num_points=int(scan.num_points),
-                ndt_iterations=int(res.iterations),
-                converged=bool(res.converged),
-                score=float(res.score),
+                ndt_iterations=int(ndt_iters),
+                converged=bool(ndt_converged > 0.5),
+                score=float(ndt_score),
                 ins_sigma=ins_sigma,
                 scaled_sigma=scaled_sigma,
                 lidar_sigma=np.sqrt(np.maximum(np.diag(lidar_cov), 0.0)),
@@ -235,9 +295,9 @@ class OdomNdtApp:
         )
 
     def _start(self, ins_pose, ins_sigma, synced, scan):
-        self._prev_pose = ins_pose
-        world = se3.transform_points(ins_pose, scan.points)
-        self._prev_cloud = (world, scan.mask)
+        self._prev_pose = (np.asarray(ins_pose.rot, np.float64),
+                           np.asarray(ins_pose.trans, np.float64))
+        self._prev_cloud = (scan.points, scan.mask)  # body frame
         self._win_poses = [(np.asarray(ins_pose.rot), np.asarray(ins_pose.trans))]
         self._win_ins = [
             ((np.asarray(ins_pose.rot), np.asarray(ins_pose.trans)),
@@ -253,16 +313,41 @@ class OdomNdtApp:
             )
         )
 
-    def _fuse(self, blended_pose, rel, lidar_cov, ins_pose, scaled_sigma):
-        """Window smoother: INS priors on every state + NDT betweens.
+    def _fuse_device(self, a):
+        """Device half of the window re-solve (traced once by PackedStep)."""
+        W = self.window
+        dtype = a["trans"].dtype
+        tpl = self._factor_template
+        st = WindowState(
+            rot=a["rot"], trans=a["trans"],
+            vel=jnp.zeros((W, 3), dtype), bias=jnp.zeros((W, 6), dtype),
+            active=a["active"],
+        )
+        factors = tpl._replace(
+            prior_pose=tpl.prior_pose._replace(
+                rot=a["fp_rot"], trans=a["fp_trans"],
+                sqrt_info=a["fp_si"], active=a["active"],
+            ),
+            between=tpl.between._replace(
+                rot=a["fb_rot"], trans=a["fb_trans"],
+                sqrt_info=a["fb_si"], active=a["b_active"],
+            ),
+        )
+        result = smoother.optimize(st, factors, SmootherConfig(iterations=5))
+        cov = marginal_covariance(result.hessian, a["cur"])
+        return dict(rot=result.state.rot, trans=result.state.trans, cov=cov)
 
-        All factor arrays are assembled in numpy and shipped to the device in
-        a handful of transfers — per-op eager dispatch costs ~2 ms through
-        the device tunnel, which dominated this step when every stack/eye ran
-        on device."""
-        np_pose = lambda p: (np.asarray(p.rot, np.float64), np.asarray(p.trans, np.float64))
-        self._win_poses.append(np_pose(blended_pose))
-        self._win_ins.append((np_pose(ins_pose), np.asarray(scaled_sigma)))
+    def _fuse(self, blended, rel, lidar_cov, ins_pose, scaled_sigma):
+        """Window smoother: INS priors on every state + NDT betweens
+        (pipeline.cpp:738-759). Everything is assembled host-side in numpy
+        and shipped as ONE packed vector (PackedStep) — per-array transfers
+        cost ~6 ms each through the device tunnel."""
+        np_pose = lambda p: (np.asarray(p[0], np.float64), np.asarray(p[1], np.float64))
+        self._win_poses.append(np_pose(blended))
+        self._win_ins.append(
+            ((np.asarray(ins_pose.rot, np.float64), np.asarray(ins_pose.trans, np.float64)),
+             np.asarray(scaled_sigma))
+        )
         self._win_between.append((np_pose(rel), np.asarray(lidar_cov)))
         if len(self._win_poses) > self.window:
             self._win_poses.pop(0)
@@ -276,36 +361,24 @@ class OdomNdtApp:
             return np.stack(list(items) + [pad_item] * count)
 
         eye3, eye6 = np.eye(3), np.eye(6)
-        st = WindowState.identity(W)._replace(
-            rot=jnp.asarray(stack((r for r, _ in self._win_poses), eye3, pad)),
-            trans=jnp.asarray(stack((t for _, t in self._win_poses), np.zeros(3), pad)),
-            active=jnp.asarray([True] * n + [False] * pad),
-        )
-        factors = self._factor_template
-        fp = factors.prior_pose._replace(
-            rot=jnp.asarray(stack((p[0] for p, _ in self._win_ins), eye3, pad)),
-            trans=jnp.asarray(stack((p[1] for p, _ in self._win_ins), np.zeros(3), pad)),
-            sqrt_info=jnp.asarray(
-                stack((np_sqrt_info_from_sigmas(s) for _, s in self._win_ins), eye6, pad)
-            ),
-            active=jnp.asarray([True] * n + [False] * pad),
-        )
         n_b = len(self._win_between)  # always n - 1: between k -> k+1
-        fb = factors.between._replace(
-            rot=jnp.asarray(stack((r[0] for r, _ in self._win_between), eye3, W - 1 - n_b)),
-            trans=jnp.asarray(stack((r[1] for r, _ in self._win_between), np.zeros(3), W - 1 - n_b)),
-            sqrt_info=jnp.asarray(
-                stack((np_sqrt_info_from_cov(c) for _, c in self._win_between), eye6, W - 1 - n_b)
-            ),
-            active=jnp.asarray([True] * n_b + [False] * (W - 1 - n_b)),
+        args = dict(
+            rot=stack((r for r, _ in self._win_poses), eye3, pad),
+            trans=stack((t for _, t in self._win_poses), np.zeros(3), pad),
+            active=np.asarray([True] * n + [False] * pad),
+            fp_rot=stack((p[0] for p, _ in self._win_ins), eye3, pad),
+            fp_trans=stack((p[1] for p, _ in self._win_ins), np.zeros(3), pad),
+            fp_si=stack((np_sqrt_info_from_sigmas(s) for _, s in self._win_ins), eye6, pad),
+            fb_rot=stack((r[0] for r, _ in self._win_between), eye3, W - 1 - n_b),
+            fb_trans=stack((r[1] for r, _ in self._win_between), np.zeros(3), W - 1 - n_b),
+            fb_si=stack((np_sqrt_info_from_cov(c) for _, c in self._win_between), eye6, W - 1 - n_b),
+            b_active=np.asarray([True] * n_b + [False] * (W - 1 - n_b)),
+            cur=np.int32(n - 1),
         )
-        factors = factors._replace(prior_pose=fp, between=fb)
-        result = self._smooth(st, factors, SmootherConfig(iterations=5))
-        state_rot = np.asarray(result.state.rot)
-        state_trans = np.asarray(result.state.trans)
-        cur = n - 1
-        pose_opt = Pose3(jnp.asarray(state_rot[cur]), jnp.asarray(state_trans[cur]))
-        cov = np.asarray(marginal_covariance(result.hessian, cur))
+        out = self._fuse_step(args)
+        state_rot = np.asarray(out["rot"], np.float64)
+        state_trans = np.asarray(out["trans"], np.float64)
+        cov = np.asarray(out["cov"], np.float64)
         # write back optimized window poses (host copies)
         self._win_poses = [(state_rot[k], state_trans[k]) for k in range(n)]
-        return pose_opt, cov
+        return (state_rot[n - 1], state_trans[n - 1]), cov

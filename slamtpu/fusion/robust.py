@@ -46,6 +46,31 @@ def trust_gain_update(
     return TrustGainState(~available, trust), scale
 
 
+def trust_gain_init_np():
+    return (False, 1.0)
+
+
+def trust_gain_update_np(
+    state,
+    ins_sigma_norm: float,
+    denial_threshold: float = 0.1,
+    recovery_rate: float = 0.005,
+    denied_scale: float = 1e2,
+):
+    """Host-scalar twin of trust_gain_update (state = (was_denied, trust));
+    the per-keyframe apps run it on the host to avoid eager device dispatch."""
+    was_denied, trust = state
+    available = float(ins_sigma_norm) < denial_threshold
+    if available and was_denied:
+        trust = 0.0
+    if available:
+        trust = min(1.0, trust + recovery_rate)
+        scale = denied_scale + trust * (1.0 - denied_scale)
+    else:
+        scale = denied_scale
+    return (not available, trust), scale
+
+
 def deviation_gated_blend(
     pose_pred: Pose3,
     pose_meas: Pose3,

@@ -125,19 +125,34 @@ class NavFrame:
         return self.valid_mask == 0b11111
 
 
+def _np_slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
+    """Shortest-arc quaternion slerp in host numpy f64 (same semantics as
+    core.so3.quat_slerp; eager jax dispatch costs ~6 ms/op on this path)."""
+    q0 = np.asarray(q0, np.float64)
+    q1 = np.asarray(q1, np.float64)
+    dot = float(q0 @ q1)
+    if dot < 0.0:
+        q1, dot = -q1, -dot
+    dot = min(dot, 1.0)
+    theta = float(np.arccos(dot))
+    sin_theta = float(np.sin(theta))
+    if sin_theta < 1e-6:
+        w0, w1 = 1.0 - t, t
+    else:
+        w0 = float(np.sin((1.0 - t) * theta)) / sin_theta
+        w1 = float(np.sin(t * theta)) / sin_theta
+    q = w0 * q0 + w1 * q1
+    return q / np.linalg.norm(q)
+
+
 def interpolate(a: NavFrame, b: NavFrame, t: float) -> NavFrame:
     """Five-strategy interpolation (dataframe.hpp:184-296)."""
-    from ..core import so3  # local import to keep numpy-only paths light
-    import jax.numpy as jnp
-
     t = float(np.clip(t, 0.0, 1.0))
 
     def lerp(x, y):
         return np.asarray(x) + t * (np.asarray(y) - np.asarray(x))
 
-    q = np.asarray(
-        so3.quat_slerp(jnp.asarray(a.quat, jnp.float64), jnp.asarray(b.quat, jnp.float64), jnp.asarray(t))
-    )
+    q = _np_slerp(a.quat, b.quat, t)
     return NavFrame(
         t=float(lerp(a.t, b.t)),
         lla=lerp(a.lla, b.lla),
