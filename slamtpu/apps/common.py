@@ -117,8 +117,10 @@ def maybe_deskew(scan: ScanBuffer, synced: SyncedFrame, ref_lla, enabled: bool) 
         return scan
     from ..lidar.deskew import deskew_scan
 
-    pose_s = ins_pose_ned(synced.ins[0], ref_lla)
-    pose_e = ins_pose_ned(synced.ins[-1], ref_lla)
+    # ins_pose_ned returns host f64; the scan path runs in the scan dtype
+    dt = scan.points.dtype
+    pose_s = se3.cast(ins_pose_ned(synced.ins[0], ref_lla), dt)
+    pose_e = se3.cast(ins_pose_ned(synced.ins[-1], ref_lla), dt)
     return deskew_scan(scan, pose_s, pose_e)
 
 

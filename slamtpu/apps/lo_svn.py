@@ -35,21 +35,33 @@ log = logging.getLogger("slamtpu.lo_svn")
 
 
 @partial(
-    jax.jit, static_argnames=("svn_cfg", "capacity", "min_points", "grid_shape")
+    jax.jit,
+    static_argnames=("svn_cfg", "capacity", "min_points", "grid_shape", "publish_svn"),
+    donate_argnums=(0, 1),
 )
 def _lo_svn_step(
-    kf_points,  # (K, N, 3) world-frame keyframe clouds (ring buffer)
-    kf_mask,  # (K, N)
+    kf_points,  # (K, N, 3) world-frame keyframe clouds (ring buffer, donated)
+    kf_mask,  # (K, N) (donated)
     new_points,  # (N, 3) body frame
     new_mask,  # (N,)
-    prior: Pose3,
-    origin,
-    rng,
+    flat,  # (15,): [prior pose(12), origin(3)]
+    head,  # () int32 ring-buffer slot to overwrite
+    key,  # PRNG key (device-resident)
     svn_cfg: SvnConfig,
     capacity: int,
     min_points: int,
     grid_shape: tuple = None,
+    publish_svn: bool = True,
 ):
+    """One fused SVN keyframe: map build over the keyframe window, K-particle
+    SVN flow, ring-buffer insert of the new cloud at the published pose, and
+    PRNG split — all in one dispatch. The scalar results return as ONE (51,)
+    vector [pose(12), cov(36), iterations, converged, n_voxels]; per-array
+    transfers cost ~6 ms each through the TPU tunnel."""
+    f32 = jnp.float32
+    prior = Pose3(flat[0:9].reshape(3, 3).astype(f32), flat[9:12].astype(f32))
+    origin = flat[12:15].astype(f32)
+    key, sub = jax.random.split(key)
     K, N, _ = kf_points.shape
     gmap = gaussian_map.build_map(
         kf_points.reshape(K * N, 3),
@@ -60,14 +72,31 @@ def _lo_svn_step(
         min_points_per_voxel=min_points,
     )
     if grid_shape is None:
-        res = svn_align(new_points, new_mask, gmap, prior, rng, svn_cfg)
+        res = svn_align(new_points, new_mask, gmap, prior, sub, svn_cfg)
     else:
         from ..ndt import build_regmap, svn_align_reg
 
         regmap = build_regmap(gmap, grid_shape=grid_shape)
-        res = svn_align_reg(new_points, new_mask, regmap, prior, rng, svn_cfg, grid_shape)
-    world_pts = se3.transform_points(res.pose, new_points)
-    return res, world_pts, gmap.num_valid()
+        res = svn_align_reg(new_points, new_mask, regmap, prior, sub, svn_cfg, grid_shape)
+    published = res.pose if publish_svn else prior
+    world_pts = se3.transform_points(published, new_points)
+    kf_points = kf_points.at[head].set(world_pts)
+    kf_mask = kf_mask.at[head].set(new_mask)
+    scalars = jnp.concatenate(
+        [
+            published.rot.ravel().astype(f32),
+            published.trans.astype(f32),
+            res.covariance.ravel().astype(f32),
+            jnp.stack(
+                [
+                    res.iterations.astype(f32),
+                    res.converged.astype(f32),
+                    gmap.num_valid().astype(f32),
+                ]
+            ),
+        ]
+    )
+    return kf_points, kf_mask, key, scalars
 
 
 @dataclasses.dataclass
@@ -124,8 +153,12 @@ class LoSvnApp:
             self._origin = jnp.asarray(
                 np.asarray(ins_pose.trans) - grid_half, jnp.float32
             )
-            world = se3.transform_points(ins_pose, scan.points)
-            self._insert_keyframe(world, scan.mask)
+            world = se3.transform_points(se3.cast(Pose3(
+                jnp.asarray(ins_pose.rot), jnp.asarray(ins_pose.trans)), jnp.float32),
+                scan.points)
+            self._kf_points = self._kf_points.at[self._kf_head].set(world)
+            self._kf_mask = self._kf_mask.at[self._kf_head].set(scan.mask)
+            self._kf_head = (self._kf_head + 1) % self._kf_points.shape[0]
             self._record(synced, scan, ins_pose, ins_pose, None, 0, True, 0.0)
             return
         self._origin, shifted = gaussian_map.recenter_origin(
@@ -133,50 +166,43 @@ class LoSvnApp:
         )
         if shifted:
             log.info("map origin recentered at keyframe %d", synced.scan.frame_id)
-        self._key, sub = jax.random.split(self._key)
+        flat = np.concatenate(
+            [
+                np.asarray(ins_pose.rot, np.float64).ravel(),
+                np.asarray(ins_pose.trans, np.float64),
+                np.asarray(self._origin, np.float64),
+            ]
+        ).astype(np.float32)
         with self.timer.span("svn_step"):
-            res, world_pts, n_voxels = _lo_svn_step(
+            self._kf_points, self._kf_mask, self._key, scalars = _lo_svn_step(
                 self._kf_points,
                 self._kf_mask,
                 scan.points,
                 scan.mask,
-                ins_pose,
-                self._origin,
-                sub,
+                flat,
+                jnp.int32(self._kf_head),
+                self._key,
                 self.svn_cfg,
                 self.cfg.register.map_capacity,
                 self.cfg.register.min_points_per_voxel,
                 tuple(self.cfg.register.reg_grid_shape)
                 if self.cfg.register.use_regmap
                 else None,
+                self.publish == "svn",
             )
-        published = res.pose if self.publish == "svn" else ins_pose
-        # keyframe cloud stored at the published pose
-        if self.publish != "svn":
-            world_pts = se3.transform_points(published, scan.points)
-        self._insert_keyframe(world_pts, scan.mask)
+            scalars = np.asarray(scalars, np.float64)
+        self._kf_head = (self._kf_head + 1) % int(self.cfg.register.keyframe_window)
+        published = Pose3(scalars[0:9].reshape(3, 3), scalars[9:12])
+        cov = scalars[12:48].reshape(6, 6)
+        iters, converged, n_voxels = scalars[48:51]
         self._record(
-            synced,
-            scan,
-            published,
-            ins_pose,
-            np.asarray(res.covariance),
-            int(res.iterations),
-            bool(res.converged),
-            0.0,
+            synced, scan, published, ins_pose, cov,
+            int(iters), bool(converged > 0.5), 0.0,
         )
         log.info(
             "kf %d: iters=%d converged=%s voxels=%d",
-            synced.scan.frame_id,
-            int(res.iterations),
-            bool(res.converged),
-            int(n_voxels),
+            synced.scan.frame_id, int(iters), converged > 0.5, int(n_voxels),
         )
-
-    def _insert_keyframe(self, world_points, mask):
-        self._kf_points = self._kf_points.at[self._kf_head].set(world_points)
-        self._kf_mask = self._kf_mask.at[self._kf_head].set(mask)
-        self._kf_head = (self._kf_head + 1) % self._kf_points.shape[0]
 
     def _record(self, synced, scan, pose, ins_pose, cov, iters, converged, score):
         self.trajectory.append(
