@@ -153,3 +153,35 @@ class TestRecenterOrigin:
             pts, jnp.ones(2000, bool), new, 1.0, capacity=2048, min_points_per_voxel=3
         )
         assert int(gmap.num_valid()) > 5
+
+
+class TestDownsample:
+    def test_voxel_downsample_matches_oracle_centroids(self):
+        from slamtpu.mapping import voxel_downsample
+
+        pts, mask = make_cloud(3000)
+        origin = np.zeros(3) - 50.0
+        cents, out_mask = jax.jit(
+            voxel_downsample, static_argnames=("capacity",)
+        )(jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(origin), 1.0, capacity=2048)
+        cents, out_mask = np.asarray(cents), np.asarray(out_mask)
+        # oracle: group by voxel, mean
+        ok = mask & np.isfinite(pts).all(-1)
+        coords = np.floor((pts[ok] - origin) / 1.0).astype(np.int64)
+        groups = {}
+        for c, p in zip(map(tuple, coords), pts[ok]):
+            groups.setdefault(c, []).append(p)
+        assert out_mask.sum() == len(groups)
+        got = {tuple(np.floor((c - origin) / 1.0).astype(np.int64)): c for c in cents[out_mask]}
+        for c, plist in groups.items():
+            assert c in got, c
+            np.testing.assert_allclose(got[c], np.mean(plist, axis=0), atol=1e-9)
+
+    def test_axis_crop(self):
+        from slamtpu.mapping import axis_crop
+
+        pts = jnp.asarray(RNG.uniform(-10, 10, (500, 3)))
+        mask = jnp.ones(500, bool)
+        out = np.asarray(axis_crop(pts, mask, 2, -1.0, 1.0))
+        z = np.asarray(pts[:, 2])
+        np.testing.assert_array_equal(out, (z >= -1.0) & (z <= 1.0))
