@@ -34,7 +34,7 @@ BLOCK = 2048
 _OUT_LANES = 128  # single (8, 128) accumulator tile
 
 
-def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref):
+def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref, *, gicp: bool):
     """Grid over point blocks; accumulates partials into one output tile.
 
     params (SMEM, (1, 16)): R row-major(9), t(3), d1, d2, gicp_mode,
@@ -58,7 +58,9 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref):
     t0, t1, t2 = params_ref[0, 9], params_ref[0, 10], params_ref[0, 11]
     d1 = params_ref[0, 12]
     d2 = params_ref[0, 13]
-    g = params_ref[0, 14]  # 1.0 = GICP mode, 0.0 = NDT
+    # gicp is a TRACE-TIME constant: the NDT variant compiles with zero
+    # mode-switch overhead (runtime selects with a scalar predicate over
+    # vectors don't legalize in Mosaic anyway)
     gicp_max_mahal = params_ref[0, 15]
 
     x0 = ptsT_ref[0, :]
@@ -90,20 +92,19 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref):
         icx2 = ic[6] * xr0 + ic[7] * xr1 + ic[8] * xr2
         mahal = jnp.maximum(xr0 * icx0 + xr1 * icx1 + xr2 * icx2, 0.0)
         exponent = 0.5 * d2 * mahal
-        # mode switch as an arithmetic blend: Mosaic cannot legalize
-        # arith.select with a scalar predicate over vector operands
-        # (exact at g in {0, 1})
-        gate = g * (mahal - gicp_max_mahal) + (1.0 - g) * (
-            exponent - jnp.float32(MAX_EXPONENT_ARG)
-        )
-        ok = valid & (gate <= 0.0)
-        e = jnp.exp(-jnp.where(ok, exponent, 0.0))
         zero = jnp.float32(0.0)
-        pair_score = g * (-mahal) + (1.0 - g) * (-d1 * e)
+        if gicp:
+            ok = valid & (mahal <= gicp_max_mahal)
+            pair_score = -mahal
+            f = jnp.where(ok, jnp.float32(-2.0), zero)
+        else:
+            ok = valid & (exponent <= jnp.float32(MAX_EXPONENT_ARG))
+            e = jnp.exp(-jnp.where(ok, exponent, zero))
+            pair_score = -d1 * e
+            f = d1 * d2 * e
+            f = jnp.where(ok & (jnp.abs(f) >= MIN_FACTOR), f, zero)
         score = score + jnp.sum(jnp.where(ok, pair_score, zero))
         count = count + jnp.sum(jnp.where(ok, jnp.float32(1.0), zero))
-        f = g * jnp.float32(-2.0) + (1.0 - g) * (d1 * d2 * e)
-        f = jnp.where(ok & (jnp.abs(f) >= MIN_FACTOR), f, 0.0)
         b0 = b0 + f * icx0
         b1 = b1 + f * icx1
         b2 = b2 + f * icx2
@@ -206,7 +207,7 @@ def fused_objective(
         ]
     ).reshape(1, 16)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, gicp=gicp),
         out_shape=jax.ShapeDtypeStruct((1, 64), jnp.float32),
         grid=(N // BLOCK,),
         in_specs=[
