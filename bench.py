@@ -379,15 +379,17 @@ def main():
     cfg = NewtonConfig(
         resolution=RESOLUTION, max_iterations=MAX_ITERS, trans_eps=1e-4
     )
-    # fused Pallas pair-math kernel; each gather reused for 4 Newton steps
-    # (accuracy gates asserted below hold; inner_iters=1 is the exact
-    # per-step DIRECT7 variant, ~3x slower)
+    # fused Pallas pair-math kernel; each gather reused for 10 Newton steps.
+    # Measured accuracy/speed ladder at this config (0.72 m initial offset):
+    # inner=1 exact DIRECT7 ~45 ms; inner=6 16 ms/0.9 mm; inner=10
+    # 11.8 ms/2.5 mm; inner=15 9.3 ms/9.7 mm; inner=30 (single gather)
+    # 55 mm -- at the accuracy gate. inner=10 keeps a 20x margin.
     _align = jax.jit(
         newton_align_fused, static_argnames=("cfg", "grid_shape", "inner_iters")
     )
 
     def align(src, msk, rmap, init, cfg):
-        return _align(src, msk, rmap, init, cfg, (192, 192, 48), 6)
+        return _align(src, msk, rmap, init, cfg, (192, 192, 48), 10)
 
     res = align(src_body, mask, regmap, se3.identity(dtype=jnp.float32), cfg)
     jax.block_until_ready(res.pose.trans)
