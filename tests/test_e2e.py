@@ -237,3 +237,57 @@ class TestDeskew:
         app = LoSvnApp(_dc.replace(cfg, deskew=True))
         t = app.run_replay(path)
         assert len(t) == 3 and traj_errors(t, gt).max() < 0.3
+
+
+class TestHostHelpers:
+    def test_np_quat_to_rot_matches_so3(self):
+        from slamtpu.apps.common import np_quat_to_rot
+        from slamtpu.core import so3
+
+        rng = np.random.default_rng(5)
+        for _ in range(20):
+            q = rng.normal(size=4); q /= np.linalg.norm(q)
+            np.testing.assert_allclose(
+                np_quat_to_rot(q), np.asarray(so3.quat_to_rot(jnp.asarray(q))), atol=1e-12
+            )
+
+    def test_np_between_matches_se3(self):
+        from slamtpu.apps.common import np_between
+        from slamtpu.core import se3
+
+        rng = np.random.default_rng(6)
+        for _ in range(10):
+            a = se3.expmap(jnp.asarray(rng.normal(scale=0.5, size=6)))
+            b = se3.expmap(jnp.asarray(rng.normal(scale=0.5, size=6)))
+            ref = se3.between(a, b)
+            got = np_between(
+                (np.asarray(a.rot), np.asarray(a.trans)),
+                (np.asarray(b.rot), np.asarray(b.trans)),
+            )
+            np.testing.assert_allclose(got[0], np.asarray(ref.rot), atol=1e-12)
+            np.testing.assert_allclose(got[1], np.asarray(ref.trans), atol=1e-12)
+
+    def test_packed_step_roundtrip(self):
+        from slamtpu.apps.packed import PackedStep
+
+        def fn(a):
+            return dict(
+                s=a["x"].sum() + a["n"].astype(a["x"].dtype).sum(),
+                y=a["x"] * 2.0,
+                flag=~a["b"],
+                i=a["n"] + 1,
+            )
+
+        step = PackedStep(fn)
+        args = dict(
+            x=np.arange(12.0).reshape(3, 4),
+            n=np.asarray([3, 5], np.int32),
+            b=np.asarray([True, False, True]),
+        )
+        out = step(args)
+        np.testing.assert_allclose(out["s"], 66.0 + 8.0)
+        np.testing.assert_allclose(out["y"], args["x"] * 2.0)
+        np.testing.assert_array_equal(out["flag"], [False, True, False])
+        np.testing.assert_array_equal(out["i"], [4, 6])
+        out2 = step(args)  # cached path
+        np.testing.assert_allclose(out2["s"], out["s"])

@@ -398,3 +398,21 @@ class TestPoseGraphScale:
         res = pg.optimize(graph, PoseGraphConfig(gn_iterations=6, cg_iterations=50))
         drift_after = float(jnp.linalg.norm(res.poses.trans[-1] - jnp.asarray(t64[-1])))
         assert drift_after < drift * 0.2, (drift, drift_after)
+
+
+class TestHostTwins:
+    """The apps run host-numpy twins of jax functions; pin them together."""
+
+    def test_trust_gain_np_matches_jax(self):
+        from slamtpu.fusion import robust
+
+        st_j = robust.trust_gain_init()
+        st_n = robust.trust_gain_init_np()
+        rng = np.random.default_rng(0)
+        for k in range(50):
+            sigma = float(rng.choice([0.01, 0.05, 0.2, 1.5]))
+            st_j, scale_j = robust.trust_gain_update(st_j, jnp.asarray(sigma))
+            st_n, scale_n = robust.trust_gain_update_np(st_n, sigma)
+            assert bool(st_j.was_denied) == st_n[0], k
+            np.testing.assert_allclose(float(st_j.trust), st_n[1], atol=1e-12)
+            np.testing.assert_allclose(float(scale_j), scale_n, atol=1e-9)

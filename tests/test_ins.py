@@ -216,3 +216,18 @@ class TestImuConfig:
         assert cfg.update_rate_hz == 100.0
         np.testing.assert_allclose(cfg.static_bias_accel, [0.1, 0.2, 0.3])
         assert cfg.dt == 0.01
+
+
+class TestNpSlerp:
+    def test_matches_so3_quat_slerp(self):
+        from slamtpu.core import so3
+        from slamtpu.ins.anpp import _np_slerp
+
+        rng = np.random.default_rng(3)
+        for _ in range(30):
+            q0 = rng.normal(size=4); q0 /= np.linalg.norm(q0)
+            q1 = rng.normal(size=4); q1 /= np.linalg.norm(q1)
+            t = float(rng.uniform())
+            ref = np.asarray(so3.quat_slerp(jnp.asarray(q0), jnp.asarray(q1), jnp.asarray(t)))
+            got = _np_slerp(q0, q1, t)
+            np.testing.assert_allclose(got, ref, atol=1e-9)
