@@ -3,6 +3,7 @@ from .sharded import (
     lo_train_step,
     make_mesh,
     newton_align_sharded,
+    newton_align_sharded_fused,
     newton_align_sharded_reg,
 )
 
@@ -10,6 +11,7 @@ __all__ = [
     "make_mesh",
     "build_map_sharded",
     "newton_align_sharded",
+    "newton_align_sharded_fused",
     "newton_align_sharded_reg",
     "lo_train_step",
 ]

@@ -232,6 +232,96 @@ def newton_align_sharded_reg(
     return _align(points, mask, regmap, init_pose)
 
 
+def newton_align_sharded_fused(
+    mesh: Mesh,
+    points: jax.Array,  # (N, 3) float32, sharded over the point axis
+    mask: jax.Array,
+    regmap,  # ndt.regmap.RegMap, replicated
+    init_pose: Pose3,
+    grid_shape: tuple,
+    resolution: float = 1.0,
+    outlier_ratio: float = 0.55,
+    max_iterations: int = 30,
+    inner_iters: int = 6,
+    trans_eps: float = 1e-4,
+    hess_lambda: float = 1e-6,
+    max_step_norm: float = 1.0,
+    axis_name: str = "data",
+    block: int = None,
+):
+    """Sharded Newton NDT on the fused Pallas pair-math kernel: each chip
+    gathers mega rows and runs the fused kernel on its point shard; one psum
+    of (score, grad, Hessian, count) per Newton step rides ICI, and each
+    gather is reused for ``inner_iters`` steps (the single-chip
+    newton_align_fused recipe, distributed). Returns (pose, hessian, score,
+    iterations). ``block`` sizes the kernel point blocks (tests shard tiny
+    clouds; the per-chip N must be a multiple of it)."""
+    from ..ndt.constants import gauss_constants
+    from ..ndt.pallas_math import fused_objective, gather_megaT
+
+    d1, d2, _ = gauss_constants(resolution, outlier_ratio)
+    dtype = jnp.float32
+    n_outer = -(-max_iterations // inner_iters)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+    def _align(pts, msk, rmap, pose0):
+        ptsT = pts.T.astype(dtype)
+
+        def one_step(pose, megaT):
+            obj = fused_objective(
+                ptsT, megaT, pose, d1, d2, hess_lambda=0.0, block=block
+            )
+            score = jax.lax.psum(obj.score, axis_name)
+            grad = jax.lax.psum(obj.grad, axis_name)
+            hess = jax.lax.psum(obj.hess, axis_name) + hess_lambda * jnp.eye(
+                6, dtype=dtype
+            )
+            step = jnp.linalg.solve(hess, -grad)
+            step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
+            norm = jnp.linalg.norm(step)
+            scale = jnp.where(
+                norm > max_step_norm, max_step_norm / jnp.maximum(norm, 1e-30), 1.0
+            )
+            step = scale * step
+            return se3.retract(pose, step.astype(dtype)), jnp.linalg.norm(step), score, hess
+
+        def cond(state):
+            _pose, it, converged, *_ = state
+            return (it < n_outer) & (~converged)
+
+        def body(state):
+            pose, it, _conv, _score, _hess = state
+            megaT = gather_megaT(pts, msk, pose, rmap, grid_shape)
+
+            def inner(_, carry):
+                pose_i, _n, _s, _h = carry
+                return one_step(pose_i, megaT)
+
+            carry = one_step(pose, megaT)
+            if inner_iters > 1:
+                carry = jax.lax.fori_loop(0, inner_iters - 1, inner, carry)
+            pose_f, norm_f, score, hess = carry
+            return (pose_f, it + 1, norm_f < trans_eps, score, hess)
+
+        state0 = (
+            se3.cast(pose0, dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            jnp.asarray(0.0, dtype),
+            jnp.zeros((6, 6), dtype),
+        )
+        pose, outers, _conv, score, hess = jax.lax.while_loop(cond, body, state0)
+        return pose, hess, score, outers * inner_iters
+
+    return _align(points, mask, regmap, init_pose)
+
+
 def lo_train_step(
     mesh: Mesh,
     points: jax.Array,

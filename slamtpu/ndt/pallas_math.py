@@ -190,13 +190,17 @@ def gather_megaT(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
 
 def fused_objective(
     ptsT, megaT, pose: Pose3, d1, d2, hess_lambda=1e-6,
-    gicp: bool = False, gicp_max_mahal: float = 9.0,
+    gicp: bool = False, gicp_max_mahal: float = 9.0, block: int = None,
 ) -> NdtObjective:
     """Pallas side: the fused pair math on pre-gathered mega rows.
 
     With ``gicp=True`` the pair weight switches to the trimmed quadratic
-    GICP cost (use a RegMap built from gicp_map; d1/d2 are ignored)."""
+    GICP cost (use a RegMap built from gicp_map; d1/d2 are ignored).
+    ``block`` overrides the point-block size (default BLOCK; tests on small
+    sharded inputs use smaller blocks)."""
     N = ptsT.shape[1]
+    block = block or BLOCK
+    assert N % block == 0, f"N={N} must be a multiple of block={block}"
     params = jnp.concatenate(
         [
             pose.rot.astype(jnp.float32).reshape(9),
@@ -209,11 +213,11 @@ def fused_objective(
     out = pl.pallas_call(
         functools.partial(_kernel, gicp=gicp),
         out_shape=jax.ShapeDtypeStruct((1, 64), jnp.float32),
-        grid=(N // BLOCK,),
+        grid=(N // block,),
         in_specs=[
             pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((96, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((96, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.SMEM),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted

@@ -126,3 +126,54 @@ class TestShardedNewtonReg:
         np.testing.assert_allclose(
             np.asarray(pose_d.trans), np.asarray(res_1.pose.trans), atol=1e-6
         )
+
+
+class TestShardedFused:
+    def test_fused_sharded_matches_reg_path(self):
+        """The fused-kernel sharded registration recovers the pose and
+        matches the XLA reg path on the same inner_iters schedule."""
+        import jax
+        import jax.numpy as jnp
+
+        from slamtpu.core import se3
+        from slamtpu.dist import make_mesh, newton_align_sharded_fused
+        from slamtpu.mapping import gaussian_map
+        from slamtpu.ndt import build_regmap
+        from slamtpu.ndt.pallas_math import newton_align_fused
+        from slamtpu.ndt.newton import NewtonConfig
+
+        rng = np.random.default_rng(11)
+        N = 8 * 256  # 8 shards x 256 points; block=128
+        centers = rng.uniform(2, 30, (24, 3)) * np.array([1, 1, 0.25])
+        world = (centers[rng.integers(0, 24, N)] + rng.normal(0, 0.3, (N, 3))).astype(
+            np.float32
+        )
+        pts = jnp.asarray(world)
+        mask = jnp.ones(N, bool)
+        origin = jnp.asarray([-8.0, -8.0, -8.0], jnp.float32)
+        gmap = gaussian_map.build_map(pts, mask, origin, 1.0, capacity=4096,
+                                      min_points_per_voxel=4)
+        rm = build_regmap(gmap, grid_shape=(48, 48, 16))
+        gt = se3.expmap(jnp.asarray([0.01, -0.008, 0.02, 0.25, -0.2, 0.05], jnp.float32))
+        src = se3.transform_points(se3.inverse(gt), pts)
+
+        mesh = make_mesh()
+        pose, hess, score, iters = newton_align_sharded_fused(
+            mesh, src, mask, rm, se3.identity(dtype=jnp.float32), (48, 48, 16),
+            max_iterations=12, inner_iters=4, block=128,
+        )
+        err = np.asarray(se3.local(gt, pose))
+        assert np.linalg.norm(err[3:]) < 0.03, err
+        assert np.linalg.norm(err[:3]) < 0.02, err
+
+        # single-device fused path, same schedule -> same result (up to
+        # reduction-order float noise)
+        cfg = NewtonConfig(resolution=1.0, max_iterations=12, trans_eps=1e-4)
+        ref = newton_align_fused(
+            src, mask, rm, se3.identity(dtype=jnp.float32), cfg, (48, 48, 16),
+            inner_iters=4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pose.trans), np.asarray(ref.pose.trans), atol=5e-3
+        )
+        np.testing.assert_allclose(float(score), float(ref.score), rtol=1e-3)
