@@ -219,7 +219,11 @@ def bench_lo100(n_sweeps: int = 100):
         imu=__import__("slamtpu.ins.imu_config", fromlist=["ImuConfig"]).ImuConfig(),
         register=RegisterConfig(
             svn_resolution=1.0, svn_particles=20, svn_max_iterations=30,
-            svn_kernel_h=5.0, svn_step_size=1.0, map_capacity=1 << 15,
+            svn_kernel_h=5.0, svn_step_size=1.0,
+            # capacity sized to the scene (~400 occupied voxels/scan, 3-scan
+            # window): regmap build cost scales with capacity (29.8 ms at
+            # 1<<15 vs 10.3 ms at 1<<13 for the same 16k-pt scan)
+            map_capacity=1 << 14,
             min_points_per_voxel=4, keyframe_window=3,
             reg_grid_shape=(256, 256, 32),
         ),
@@ -270,7 +274,8 @@ def _app_bench(app_name: str, n_sweeps: int = 50):
         lidar=LidarParams(channel_stride=1, range_filter=(0.5, 150.0)),
         imu=__import__("slamtpu.ins.imu_config", fromlist=["ImuConfig"]).ImuConfig(),
         register=RegisterConfig(
-            ndt_resolution=1.0, ndt_max_iterations=20, map_capacity=1 << 15,
+            ndt_resolution=1.0, ndt_max_iterations=20,
+            map_capacity=1 << 13,  # ~400 occupied voxels/scan: 22x headroom
             min_points_per_voxel=4, reg_grid_shape=(256, 256, 32),
         ),
     )
