@@ -143,6 +143,8 @@ class OdomNdtApp:
     window: int = 8  # smoother window size (states kept live)
     max_trans_deviation: float = 1.0  # pipeline.cpp:454
     max_rot_deviation: float = 0.1  # pipeline.cpp:455
+    loop_closure: bool = False  # voxel-bucket candidate search + NDT verify
+    loop_cfg: object = None  # fusion.loop_closure.LoopClosureConfig
 
     def __post_init__(self):
         self.ingest = IngestPipeline(self.cfg)
@@ -185,6 +187,16 @@ class OdomNdtApp:
             ),
         )
         self._factor_template = tpl
+        # loop closure (the reference's candidate-search scaffold,
+        # pipeline.cpp:676-736, completed): detector + full odometry-chain
+        # history for the offline pose-graph refinement pass
+        self._detector = None
+        self._closures = []
+        self._odo_rels = []  # (rel (rot, trans) numpy, cov 6x6) per step
+        if self.loop_closure:
+            from ..fusion.loop_closure import LoopClosureConfig, LoopDetector
+
+            self._detector = LoopDetector(self.loop_cfg or LoopClosureConfig())
 
     def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
         for synced in self.ingest.synced_frames(replay_path):
@@ -267,6 +279,11 @@ class OdomNdtApp:
         self._prev_prev_pose = self._prev_pose
         self._prev_pose = pose_opt
         self._prev_cloud = (scan.points, scan.mask)  # body frame; _odom_step transforms
+        if self._detector is not None:
+            self._odo_rels.append((rel, lidar_cov))
+            self._closures += self._detector.add_keyframe(
+                Pose3(pose_opt[0], pose_opt[1]), scan.points, scan.mask
+            )
         self.trajectory.append(
             TrajectoryEntry(
                 timestamp=synced.t_end,
@@ -298,6 +315,10 @@ class OdomNdtApp:
         self._prev_pose = (np.asarray(ins_pose.rot, np.float64),
                            np.asarray(ins_pose.trans, np.float64))
         self._prev_cloud = (scan.points, scan.mask)  # body frame
+        if self._detector is not None:
+            self._closures += self._detector.add_keyframe(
+                Pose3(self._prev_pose[0], self._prev_pose[1]), scan.points, scan.mask
+            )
         self._win_poses = [(np.asarray(ins_pose.rot), np.asarray(ins_pose.trans))]
         self._win_ins = [
             ((np.asarray(ins_pose.rot), np.asarray(ins_pose.trans)),
@@ -382,3 +403,27 @@ class OdomNdtApp:
         # write back optimized window poses (host copies)
         self._win_poses = [(state_rot[k], state_trans[k]) for k in range(n)]
         return (state_rot[n - 1], state_trans[n - 1]), cov
+
+    def refine_loop_closures(self):
+        """Offline pose-graph pass over the full trajectory: odometry-chain
+        between factors (the per-keyframe NDT relatives and covariances) plus
+        every verified loop closure (pipeline.cpp:676-736 completed with
+        fusion.pose_graph). Rewrites self.trajectory poses in place and
+        returns (refined_poses, closures)."""
+        if self._detector is None:
+            raise RuntimeError("construct the app with loop_closure=True")
+        from ..fusion.loop_closure import refine_trajectory
+
+        poses = [
+            Pose3(jnp.asarray(e.pose.rot), jnp.asarray(e.pose.trans))
+            for e in self.trajectory
+        ]
+        rels = [Pose3(jnp.asarray(r[0]), jnp.asarray(r[1])) for r, _ in self._odo_rels]
+        covs = [c for _, c in self._odo_rels]
+        if not self._closures:
+            log.info("no loop closures found; trajectory unchanged")
+            return poses, []
+        refined, _result = refine_trajectory(poses, rels, covs, self._closures)
+        for e, p in zip(self.trajectory, refined):
+            e.pose = Pose3(np.asarray(p.rot, np.float64), np.asarray(p.trans, np.float64))
+        return refined, self._closures

@@ -291,3 +291,37 @@ class TestHostHelpers:
         np.testing.assert_array_equal(out["i"], [4, 6])
         out2 = step(args)  # cached path
         np.testing.assert_allclose(out2["s"], out["s"])
+
+
+class TestOdomLoopClosure:
+    def test_circle_revisit_closes_and_refines(self, tmp_path):
+        """Drive a full circle; the detector must find a verified closure on
+        revisit and the pose-graph pass must keep/improve the trajectory."""
+        from slamtpu.fusion.loop_closure import LoopClosureConfig
+
+        meta = small_meta()
+        cfg = make_cfg(meta)
+        n_sweeps = 46
+        traj = ArcTrajectory(v=3.0, yaw_rate=2 * np.pi / 4.0)
+        path = str(tmp_path / "loop.rpl")
+        gt = simulate_replay(path, meta, cfg.lidar, n_sweeps=n_sweeps, traj=traj)
+        app = OdomNdtApp(
+            cfg, window=6, loop_closure=True,
+            loop_cfg=LoopClosureConfig(
+                search_radius=2.0, min_keyframe_gap=30,
+                max_candidates_per_keyframe=1, resolution=2.0,
+                # single-scan targets leave most DIRECT7 slots empty; the
+                # observed ratio for a good registration here is ~0.1
+                min_contrib_ratio=0.05,
+            ),
+        )
+        app.run_replay(path)
+        assert len(app._closures) >= 1, "no loop closures found on revisit"
+        for c in app._closures:
+            assert c.j - c.i >= 30
+        ate_before = float(np.sqrt(np.mean(traj_errors(app.trajectory, gt) ** 2)))
+        refined, closures = app.refine_loop_closures()
+        ate_after = float(np.sqrt(np.mean(traj_errors(app.trajectory, gt) ** 2)))
+        assert np.isfinite(ate_after)
+        # the graph must not blow the (already accurate) odometry apart
+        assert ate_after < max(2.0 * ate_before, 0.05), (ate_before, ate_after)
