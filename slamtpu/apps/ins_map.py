@@ -78,6 +78,22 @@ class InsMapApp:
             TrajectoryEntry(synced.t_end, synced.scan.frame_id, pose, pose)
         )
 
+    def save_checkpoint(self, path: str):
+        """Persist the mergeable map state + geodetic reference (the
+        checkpoint/resume capability SURVEY.md section 5.4 calls for; the
+        reference has end-of-run text export only)."""
+        from ..runtime import checkpoint
+
+        assert self._stats is not None, "nothing to checkpoint yet"
+        checkpoint.save_ins_map(path, self._stats, self._ref_lla)
+
+    def resume_from(self, path: str):
+        """Restore a checkpoint; subsequent scans merge into the loaded map."""
+        from ..runtime import checkpoint
+
+        self._stats, self._ref_lla = checkpoint.load_ins_map(path)
+        return self
+
     def finalize_and_export(self, prefix: str, min_points_per_voxel: int = 6):
         gmap = gaussian_map.finalize(self._stats, min_points_per_voxel)
         data = extract_ndt_data(gmap)

@@ -43,6 +43,37 @@ def load_map_stats(path: str) -> VoxelStats:
     )
 
 
+def save_ins_map(path: str, stats: VoxelStats, ref_lla):
+    """App-state checkpoint for the INS mapping pipeline: the mergeable map
+    sufficient statistics plus the geodetic reference. A resumed run keeps
+    folding scans into the restored stats (associative merge)."""
+    np.savez_compressed(
+        path,
+        keys=np.asarray(stats.keys),
+        n=np.asarray(stats.n),
+        sx=np.asarray(stats.sx),
+        sxx=np.asarray(stats.sxx),
+        origin=np.asarray(stats.origin),
+        resolution=np.asarray(stats.resolution),
+        overflow=np.asarray(stats.overflow),
+        ref_lla=np.asarray(ref_lla, np.float64),
+    )
+
+
+def load_ins_map(path: str):
+    z = np.load(path)
+    stats = VoxelStats(
+        keys=jnp.asarray(z["keys"]),
+        n=jnp.asarray(z["n"]),
+        sx=jnp.asarray(z["sx"]),
+        sxx=jnp.asarray(z["sxx"]),
+        origin=jnp.asarray(z["origin"]),
+        resolution=jnp.asarray(z["resolution"]),
+        overflow=jnp.asarray(z["overflow"]),
+    )
+    return stats, z["ref_lla"]
+
+
 def save_trajectory(path: str, timestamps, poses: List[Pose3], frame_ids=None):
     quats = np.stack(
         [np.asarray(so3.rot_to_quat(jnp.asarray(p.rot))) for p in poses]

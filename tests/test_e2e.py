@@ -325,3 +325,38 @@ class TestOdomLoopClosure:
         assert np.isfinite(ate_after)
         # the graph must not blow the (already accurate) odometry apart
         assert ate_after < max(2.0 * ate_before, 0.05), (ate_before, ate_after)
+
+
+class TestInsMapResume:
+    def test_split_run_equals_continuous(self, replay, tmp_path):
+        """Checkpoint mid-run, resume in a fresh app: the final map must
+        equal a single continuous run (the stats merge is associative)."""
+        path, gt, cfg = replay
+
+        full = InsMapApp(cfg, resolution=1.0)
+        frames = list(full.ingest.synced_frames(path))
+        for s in frames:
+            full.process(s)
+
+        a = InsMapApp(cfg, resolution=1.0)
+        for s in frames[:4]:
+            a.process(s)
+        ckpt = str(tmp_path / "map.npz")
+        a.save_checkpoint(ckpt)
+
+        b = InsMapApp(cfg, resolution=1.0).resume_from(ckpt)
+        for s in frames[4:]:
+            b.process(s)
+
+        np.testing.assert_array_equal(
+            np.asarray(b._stats.keys), np.asarray(full._stats.keys)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b._stats.n), np.asarray(full._stats.n)
+        )
+        np.testing.assert_allclose(
+            np.asarray(b._stats.sx), np.asarray(full._stats.sx), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(b._stats.sxx), np.asarray(full._stats.sxx), atol=1e-8
+        )
