@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--register", help="registration config JSON")
     p.add_argument("--max-keyframes", type=int, default=10**9)
     p.add_argument("--publish", default="svn", choices=["svn", "ins"], help="lo_svn only")
+    p.add_argument("--loop-closure", action="store_true",
+                   help="odom_ndt only: detect loop closures and run the pose-graph refinement")
+    p.add_argument("--resume", help="ins_map only: resume from a map checkpoint (.npz)")
+    p.add_argument("--save-checkpoint", help="ins_map only: write a map checkpoint (.npz)")
     p.add_argument("--profile", action="store_true", help="write a jax profiler trace")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
@@ -76,7 +80,11 @@ def main(argv=None):
             from slamtpu.apps import InsMapApp
 
             app = InsMapApp(cfg)
+            if args.resume:
+                app.resume_from(args.resume)
             traj = app.run_replay(args.replay, args.max_keyframes)
+            if args.save_checkpoint:
+                app.save_checkpoint(args.save_checkpoint)
             app.finalize_and_export(os.path.join(args.out, "ndt_map"))
         elif args.app == "lo_svn":
             from slamtpu.apps import LoSvnApp
@@ -86,8 +94,11 @@ def main(argv=None):
         elif args.app == "odom_ndt":
             from slamtpu.apps import OdomNdtApp
 
-            app = OdomNdtApp(cfg)
+            app = OdomNdtApp(cfg, loop_closure=args.loop_closure)
             traj = app.run_replay(args.replay, args.max_keyframes)
+            if args.loop_closure:
+                _, closures = app.refine_loop_closures()
+                print(f"loop closures: {len(closures)}")
         elif args.app == "ligo_tc":
             from slamtpu.apps import LigoTcApp
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import se3, so3
+from ..core import se3
 from ..core.se3 import Pose3
 from ..ins import geodesy
 from ..ins.anpp import AnppDecoder, NavFrame

@@ -22,7 +22,7 @@ import numpy as np
 from ..core import se3
 from ..core.se3 import Pose3
 from ..mapping import gaussian_map
-from ..ndt import NewtonConfig, newton_align
+from ..ndt import NewtonConfig, build_regmap, newton_align_reg
 from . import pose_graph as pg
 from .graph import sqrt_info_from_cov
 
@@ -45,6 +45,7 @@ class LoopClosureConfig:
     min_keyframe_gap: int = 20  # temporal exclusion window
     max_candidates_per_keyframe: int = 2
     resolution: float = 2.0  # NDT voxel size for verification
+    reg_grid_shape: tuple = (128, 128, 32)  # dense lookup grid (searchsorted-free)
     max_iterations: int = 30
     min_contrib_ratio: float = 0.3  # accepted pairs / source points
     max_fitness_error: float = 0.5  # m, translation sanity vs odometry guess
@@ -103,9 +104,13 @@ class LoopDetector:
             world_k, mask_k, origin, cfg.resolution, capacity=1 << 14,
             min_points_per_voxel=4,
         )
-        res = newton_align(
-            pts_j, mask_j, gmap, se3.cast(pose_j, pts_j.dtype),
+        # RegMap path: the searchsorted lookup of the plain gmap path costs
+        # minutes of XLA compile on the TPU backend in use (BENCH_NOTES.md)
+        regmap = build_regmap(gmap, grid_shape=cfg.reg_grid_shape)
+        res = newton_align_reg(
+            pts_j, mask_j, regmap, se3.cast(pose_j, pts_j.dtype),
             NewtonConfig(resolution=cfg.resolution, max_iterations=cfg.max_iterations),
+            cfg.reg_grid_shape,
         )
         n_src = int(jnp.sum(mask_j))
         ratio = float(res.n_contrib) / max(n_src * 7, 1)

@@ -23,7 +23,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core import se3
 from ..core.se3 import Pose3
 from .objective import MAX_EXPONENT_ARG, MIN_FACTOR, NdtObjective
 from .regmap import RegMap

@@ -60,6 +60,14 @@ class RegisterConfig:
             svn_stop_thresh=float(svn.get("stopThreshold", 1e-4)),
             svn_outlier_ratio=float(svn.get("outlierRatio", 0.55)),
             map_voxel_size=float(p.get("mapvoxelsize", 0.5)),
+            # slamtpu extensions (absent from the reference JSON): fixed
+            # device-buffer sizing — set capacity to the expected occupied
+            # voxel count with headroom (regmap build cost scales with it)
+            min_points_per_voxel=int(p.get("minPointsPerVoxel", 6)),
+            map_capacity=int(p.get("mapCapacity", 1 << 17)),
+            keyframe_window=int(p.get("keyframeWindow", 5)),
+            use_regmap=bool(p.get("useRegmap", True)),
+            reg_grid_shape=tuple(p.get("regGridShape", (256, 256, 64))),
         )
 
 
