@@ -17,6 +17,9 @@ import sys
 
 
 def main(argv=None):
+    from .runtime.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="slamtpu")
     p.add_argument(
         "app",

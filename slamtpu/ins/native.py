@@ -9,7 +9,6 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
 import threading
 from typing import Optional
 
@@ -19,7 +18,6 @@ log = logging.getLogger("slamtpu.ins.native")
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "anpp_decode.cpp"))
-_SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libanpp_decode.so"))
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -33,15 +31,13 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC]
-            try:
-                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            except Exception as e:  # pragma: no cover
-                log.warning("native anpp build failed: %s", e)
-                return None
+        from ..native_build import build_from_source
+
+        so_path = build_from_source(_SRC, "anpp_decode")
+        if so_path is None:
+            return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so_path)
         except OSError as e:  # pragma: no cover
             log.warning("native anpp load failed: %s", e)
             return None

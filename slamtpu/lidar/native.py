@@ -11,7 +11,6 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
 import threading
 from typing import Optional
 
@@ -21,20 +20,9 @@ log = logging.getLogger("slamtpu.lidar.native")
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "ouster_decode.cpp"))
-_SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libouster_decode.so"))
 _lock = threading.Lock()
 _lib = None
 _tried = False
-
-
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception as e:  # pragma: no cover
-        log.warning("native decoder build failed: %s", e)
-        return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -43,11 +31,13 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
-                return None
+        from ..native_build import build_from_source
+
+        so_path = build_from_source(_SRC, "ouster_decode")
+        if so_path is None:
+            return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so_path)
         except OSError as e:  # pragma: no cover
             log.warning("native decoder load failed: %s", e)
             return None

@@ -17,17 +17,63 @@ from ..ins.imu_config import ImuConfig
 from ..lidar.ouster import LidarParams, SensorMeta, synthetic_os2_metadata
 
 
+# The reference's flat snake_case key schema, exactly as parsed by
+# RegisterCallback::ParseParamdata (/root/reference/src/registercallback.cpp:
+# 24-91) and shipped in config/register_config.json. "num_threads" is parsed
+# and ignored (OpenMP sizing has no TPU equivalent — vmap/XLA decide).
+# "ndt_regularization_scale_factor" is the key the shipped JSON actually uses
+# (the reference parser looks for "regularization_scale_factor" and therefore
+# silently keeps its default; we accept both spellings).
+_REFERENCE_KEYS = {
+    "num_threads",
+    "mapvoxelsize",
+    "registration_method",
+    "ndt_resolution",
+    "ndt_transform_epsilon",
+    "ndt_neighborhood_search_method",
+    "regularization_scale_factor",
+    "ndt_regularization_scale_factor",
+    "gicp_corr_dist_threshold",
+    "gicp_transform_epsilon",
+    "svn_ndt_resolution",
+    "svn_ndt_neighborhood_search_method",
+    "svn_ndt_number_particle",
+    "svn_ndt_max_iterations",
+    "svn_ndt_kernel_bandwith",
+    "svn_ndt_step_size",
+    "svn_ndt_stop_threshold",
+    "svn_ndt_set_outlier_ratio",
+}
+# slamtpu extensions (absent from the reference JSON): fixed device-buffer
+# sizing and engine switches.
+_EXTENSION_KEYS = {
+    "ndt_max_iterations",
+    "min_points_per_voxel",
+    "map_capacity",
+    "keyframe_window",
+    "use_regmap",
+    "reg_grid_shape",
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class RegisterConfig:
     """cf. RegisterCallback::ParseParamdata
     (/root/reference/src/registercallback.cpp:24-91) and
-    config/register_config.json."""
+    config/register_config.json. Dataclass defaults mirror the shipped Berlin
+    JSON (not the C++ in-class defaults)."""
 
-    method: str = "SVNNDT"  # NDT_OMP (-> Newton NDT) | SVNNDT | GICP (unsupported)
+    # the C++ in-class default (registercallback.hpp:39); the shipped Berlin
+    # JSON selects SVNNDT — load it via from_json to match that operating point
+    method: str = "NDT_OMP"  # NDT_OMP (-> Newton NDT) | SVNNDT | GICP | NDT_OMP_MULTIRES
     ndt_resolution: float = 2.0
     ndt_transform_epsilon: float = 1e-4
     ndt_max_iterations: int = 30
-    search_method: str = "DIRECT7"  # DIRECT7 | DIRECT1
+    search_method: str = "DIRECT7"  # DIRECT7 | DIRECT1 (Newton NDT)
+    svn_search_method: str = "DIRECT7"  # DIRECT7 | DIRECT1 (SVN-NDT)
+    regularization_scale_factor: float = 10.0  # NDT prior-pose penalty weight
+    gicp_corr_dist_threshold: float = 5.0
+    gicp_transform_epsilon: float = 1e-4
     svn_resolution: float = 1.0
     svn_particles: int = 20
     svn_max_iterations: int = 100
@@ -44,30 +90,68 @@ class RegisterConfig:
 
     @classmethod
     def from_json(cls, obj: dict) -> "RegisterConfig":
+        """Parse the reference's flat snake_case register_parameter schema.
+
+        Unrecognized keys raise (a typo'd knob silently falling back to its
+        default is worse than a hard failure)."""
         p = obj.get("register_parameter", obj)
-        ndt = p.get("ndt", {})
-        svn = p.get("svn_ndt", {})
+        unknown = set(p) - _REFERENCE_KEYS - _EXTENSION_KEYS
+        if unknown:
+            raise ValueError(
+                f"unrecognized register_parameter keys: {sorted(unknown)} "
+                f"(known: {sorted(_REFERENCE_KEYS | _EXTENSION_KEYS)})"
+            )
+        defaults = cls()
+        reg_scale = p.get(
+            "regularization_scale_factor",
+            p.get(
+                "ndt_regularization_scale_factor",
+                defaults.regularization_scale_factor,
+            ),
+        )
         return cls(
-            method=p.get("method", "SVNNDT"),
-            ndt_resolution=float(ndt.get("resolution", 2.0)),
-            ndt_transform_epsilon=float(ndt.get("epsilon", 1e-4)),
-            search_method=ndt.get("searchMethod", "DIRECT7"),
-            svn_resolution=float(svn.get("resolution", 1.0)),
-            svn_particles=int(svn.get("particles", 20)),
-            svn_max_iterations=int(svn.get("maxIterations", 100)),
-            svn_kernel_h=float(svn.get("kernelH", 5.0)),
-            svn_step_size=float(svn.get("stepSize", 0.05)),
-            svn_stop_thresh=float(svn.get("stopThreshold", 1e-4)),
-            svn_outlier_ratio=float(svn.get("outlierRatio", 0.55)),
-            map_voxel_size=float(p.get("mapvoxelsize", 0.5)),
-            # slamtpu extensions (absent from the reference JSON): fixed
-            # device-buffer sizing — set capacity to the expected occupied
-            # voxel count with headroom (regmap build cost scales with it)
-            min_points_per_voxel=int(p.get("minPointsPerVoxel", 6)),
-            map_capacity=int(p.get("mapCapacity", 1 << 17)),
-            keyframe_window=int(p.get("keyframeWindow", 5)),
-            use_regmap=bool(p.get("useRegmap", True)),
-            reg_grid_shape=tuple(p.get("regGridShape", (256, 256, 64))),
+            method=str(p.get("registration_method", defaults.method)),
+            ndt_resolution=float(p.get("ndt_resolution", defaults.ndt_resolution)),
+            ndt_transform_epsilon=float(
+                p.get("ndt_transform_epsilon", defaults.ndt_transform_epsilon)
+            ),
+            ndt_max_iterations=int(
+                p.get("ndt_max_iterations", defaults.ndt_max_iterations)
+            ),
+            search_method=str(
+                p.get("ndt_neighborhood_search_method", defaults.search_method)
+            ),
+            svn_search_method=str(
+                p.get("svn_ndt_neighborhood_search_method", defaults.svn_search_method)
+            ),
+            regularization_scale_factor=float(reg_scale),
+            gicp_corr_dist_threshold=float(
+                p.get("gicp_corr_dist_threshold", defaults.gicp_corr_dist_threshold)
+            ),
+            gicp_transform_epsilon=float(
+                p.get("gicp_transform_epsilon", defaults.gicp_transform_epsilon)
+            ),
+            svn_resolution=float(p.get("svn_ndt_resolution", defaults.svn_resolution)),
+            svn_particles=int(p.get("svn_ndt_number_particle", defaults.svn_particles)),
+            svn_max_iterations=int(
+                p.get("svn_ndt_max_iterations", defaults.svn_max_iterations)
+            ),
+            svn_kernel_h=float(p.get("svn_ndt_kernel_bandwith", defaults.svn_kernel_h)),
+            svn_step_size=float(p.get("svn_ndt_step_size", defaults.svn_step_size)),
+            svn_stop_thresh=float(
+                p.get("svn_ndt_stop_threshold", defaults.svn_stop_thresh)
+            ),
+            svn_outlier_ratio=float(
+                p.get("svn_ndt_set_outlier_ratio", defaults.svn_outlier_ratio)
+            ),
+            map_voxel_size=float(p.get("mapvoxelsize", defaults.map_voxel_size)),
+            min_points_per_voxel=int(
+                p.get("min_points_per_voxel", defaults.min_points_per_voxel)
+            ),
+            map_capacity=int(p.get("map_capacity", defaults.map_capacity)),
+            keyframe_window=int(p.get("keyframe_window", defaults.keyframe_window)),
+            use_regmap=bool(p.get("use_regmap", defaults.use_regmap)),
+            reg_grid_shape=tuple(p.get("reg_grid_shape", defaults.reg_grid_shape)),
         )
 
 
@@ -92,11 +176,13 @@ class PipelineConfig:
         return cls(
             meta=meta or synthetic_os2_metadata(),
             lidar=LidarParams(
+                body_to_lidar_rotation=np.diag([-1.0, -1.0, 1.0]),  # Cb2s
+                body_to_lidar_translation=np.asarray([0.135, 0.0, 0.1243]),  # tb2s
                 channel_stride=4,
                 z_filter=(-250.0, 0.0),
                 reflectivity_threshold=60.0,
                 range_filter=(0.0, 250.0),
-                vehicle_box_center=np.zeros(3, np.float32),
+                vehicle_box_center=np.asarray([-3.0, 0.0, 1.0], np.float32),
                 vehicle_box_dimensions=np.asarray([10.5, 3.0, 2.1], np.float32),
             ),
             imu=ImuConfig(update_rate_hz=50.0),

@@ -15,6 +15,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
+from slamtpu.runtime.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", (
