@@ -19,6 +19,10 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 import numpy as np
 
+from slamtpu.runtime.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 N_POINTS = 128 * 1024
 RESOLUTION = 1.0
 MAP_CAPACITY = 1 << 16
@@ -316,6 +320,95 @@ def _app_bench(app_name: str, n_sweeps: int = 50):
                       "detail": detail}))
 
 
+def bench_map(capacity: int = 1 << 17, grid_shape=(256, 256, 64)):
+    """Map-construction phase breakdown at the Berlin operating point
+    (128k pts/scan, 2^17 voxel capacity): stats accumulate, finalize
+    (eig3x3 + inflation + icov), RegMap build (dilate + dense grid +
+    mega-row pack). These dominate the per-keyframe cost of the odometry
+    apps; the registration itself is benchmarked by the default mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.mapping import gaussian_map
+    from slamtpu.ndt import build_regmap
+
+    world, pts, mask, origin = _world()
+    res = jnp.asarray(RESOLUTION)
+
+    # Phase timings run inside one jitted fori_loop with a data dependence
+    # threaded through the carry: through this device tunnel, single-dispatch
+    # host timings are untrustworthy (async buffers read "ready" early);
+    # chained on-device loops are the only honest clock (BENCH_NOTES.md).
+    N_REPS = 10
+
+    def chain(body):
+        def fn(*args):
+            def step(i, carry):
+                return body(carry, i, *args)
+
+            return jax.lax.fori_loop(0, N_REPS, step, jnp.zeros((), jnp.float32))
+
+        f = jax.jit(fn)
+        out = f(*args_holder)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(*args_holder))
+        return (time.perf_counter() - t0) / N_REPS * 1e3
+
+    args_holder = ()
+
+    def stats_body(carry, i, pts, mask, origin):
+        p = pts + carry * 1e-20 + i.astype(jnp.float32) * 0.0
+        st = gaussian_map.stats_from_points(p, mask, origin, res, capacity)
+        return st.sx[0, 0].astype(jnp.float32)
+
+    args_holder = (pts, mask, origin)
+    ms_stats = chain(stats_body)
+
+    stats = jax.jit(gaussian_map.stats_from_points, static_argnames=("capacity",))(
+        pts, mask, origin, res, capacity
+    )
+
+    def fin_body(carry, i, st_sx):
+        st = stats._replace(sx=st_sx + carry * 1e-20)
+        g = gaussian_map.finalize(st, 6)
+        return g.mean[0, 0].astype(jnp.float32)
+
+    args_holder = (stats.sx,)
+    ms_fin = chain(fin_body)
+
+    gmap = jax.jit(gaussian_map.finalize, static_argnames=("min_points_per_voxel",))(
+        stats, 6
+    )
+
+    def reg_body(carry, i, mean):
+        g = gmap._replace(mean=mean + carry * 1e-20)
+        r = build_regmap(g, grid_shape=grid_shape)
+        return r.packed[0, 0].astype(jnp.float32)
+
+    args_holder = (gmap.mean,)
+    ms_reg = chain(reg_body)
+    rmap = build_regmap(gmap, grid_shape=grid_shape)
+    total = ms_stats + ms_fin + ms_reg
+    print(
+        json.dumps(
+            {
+                "metric": f"map+RegMap build (128k pts, capacity {capacity}, grid {grid_shape})",
+                "value": round(total, 2),
+                "unit": "ms/build",
+                "vs_baseline": None,
+                "detail": {
+                    "stats_ms": round(ms_stats, 2),
+                    "finalize_ms": round(ms_fin, 2),
+                    "regmap_ms": round(ms_reg, 2),
+                    "valid_voxels": int(gmap.num_valid()),
+                    "regmap_overflow": int(rmap.overflow),
+                },
+            }
+        )
+    )
+
+
 def _world():
     import jax.numpy as jnp
 
@@ -444,5 +537,7 @@ if __name__ == "__main__":
         _app_bench("insmap")
     elif mode == "svn":
         bench_svn()
+    elif mode == "map":
+        bench_map()
     else:
         main()

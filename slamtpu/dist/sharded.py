@@ -262,6 +262,9 @@ def newton_align_sharded_fused(
     d1, d2, _ = gauss_constants(resolution, outlier_ratio)
     dtype = jnp.float32
     n_outer = -(-max_iterations // inner_iters)
+    # the kernel runs on THIS mesh's devices, not the default backend (a CPU
+    # test mesh on a TPU session must interpret)
+    interpret = mesh.devices.flat[0].platform != "tpu"
 
     @partial(
         shard_map,
@@ -275,7 +278,8 @@ def newton_align_sharded_fused(
 
         def one_step(pose, megaT):
             obj = fused_objective(
-                ptsT, megaT, pose, d1, d2, hess_lambda=0.0, block=block
+                ptsT, megaT, pose, d1, d2, hess_lambda=0.0, block=block,
+                interpret=interpret,
             )
             score = jax.lax.psum(obj.score, axis_name)
             grad = jax.lax.psum(obj.grad, axis_name)
@@ -330,8 +334,11 @@ def lo_train_step(
     pose_guess: Pose3,
     resolution: float,
     capacity: int,
+    grid_shape: tuple = (64, 64, 32),
     max_iterations: int = 20,
+    inner_iters: int = 4,
     min_points_per_voxel: int = 6,
+    block: int | None = None,
     axis_name: str = "data",
 ):
     """One full LiDAR-odometry step over the mesh: register the (sharded)
@@ -340,16 +347,28 @@ def lo_train_step(
     reference's per-keyframe setInputTarget rebuild (run/pipeline_lo_svn.cpp:
     376-387), but associative and distributed.
 
+    Registration runs on the production path — finalize the stats, build the
+    search-free RegMap layout, and dispatch the fused Pallas pair-math kernel
+    per shard with one psum per Newton step (``newton_align_sharded_fused``).
+    The searchsorted baseline (``newton_align_sharded``) is kept only as a
+    test oracle: it compiles pathologically slowly on TPU (BENCH_NOTES.md).
+
     Returns (pose, hessian, score, iterations, new_map_stats)."""
+    from ..ndt.regmap import build_regmap
+
     gmap = gaussian_map.finalize(map_stats, min_points_per_voxel)
-    pose, hess, score, iters = newton_align_sharded(
+    rmap = build_regmap(gmap, grid_shape=grid_shape)
+    pose, hess, score, iters = newton_align_sharded_fused(
         mesh,
         points,
         mask,
-        gmap,
+        rmap,
         pose_guess,
+        grid_shape,
         resolution=resolution,
         max_iterations=max_iterations,
+        inner_iters=inner_iters,
+        block=block,
         axis_name=axis_name,
     )
 

@@ -30,6 +30,16 @@ class NewtonConfig(NamedTuple):
     max_step_norm: float = 1.0  # trust-region style clamp on the Newton step
     use_direct1: bool = False
     hess_lambda: float = 1e-6
+    # Prior-pose regularization (the ndt_omp setRegularizationPose /
+    # setRegularizationScaleFactor capability the tightly-coupled pipeline
+    # relies on, /root/reference/run/pipeline_ligo_tc.cpp:293,531): a
+    # quadratic tangent-space penalty 0.5*w*|Log(reg_pose^-1 pose)|^2 pulling
+    # the optimum toward the (IMU-predicted) prior, with w = reg_weight *
+    # n_contrib so the knob is scale-free in the number of contributing
+    # point-voxel pairs. 0 disables the term. (ndt_omp's exact normalization
+    # is unverifiable here — the submodule content is absent from the
+    # reference snapshot — so the per-pair weighting is our definition.)
+    reg_weight: float = 0.0
 
 
 class NewtonResult(NamedTuple):
@@ -47,6 +57,7 @@ def newton_align(
     gmap: GaussianMap,
     init_pose: Pose3,
     cfg: NewtonConfig = NewtonConfig(),
+    reg_pose: Pose3 = None,
 ) -> NewtonResult:
     """Align a source scan to the Gaussian map starting from ``init_pose``.
 
@@ -54,6 +65,9 @@ def newton_align(
     is negative definite, so the Newton step solve(H, -g) moves uphill — the
     same sign convention as the reference SVN stage-2 solve
     (svn_ndt_impl.hpp:833-839).
+
+    ``reg_pose`` (with ``cfg.reg_weight > 0``) adds the prior-pose
+    regularization term (see NewtonConfig).
     """
     d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
     offsets = voxel.DIRECT1_OFFSETS if cfg.use_direct1 else voxel.DIRECT7_OFFSETS
@@ -63,7 +77,7 @@ def newton_align(
             points, mask, pose, gmap, d1, d2, offsets, cfg.hess_lambda
         )
 
-    return _newton_loop(eval_obj, points.dtype, init_pose, cfg)
+    return _newton_loop(eval_obj, points.dtype, init_pose, cfg, reg_pose)
 
 
 def newton_align_reg(
@@ -73,6 +87,7 @@ def newton_align_reg(
     init_pose: Pose3,
     cfg: NewtonConfig = NewtonConfig(),
     grid_shape: tuple = (256, 256, 64),
+    reg_pose: Pose3 = None,
 ) -> NewtonResult:
     """Newton alignment on the search-free RegMap layout (slamtpu.ndt.regmap)."""
     from . import regmap as regmap_mod
@@ -84,10 +99,24 @@ def newton_align_reg(
             points, mask, pose, regmap, d1, d2, grid_shape, cfg.hess_lambda
         )
 
-    return _newton_loop(eval_obj, points.dtype, init_pose, cfg)
+    return _newton_loop(eval_obj, points.dtype, init_pose, cfg, reg_pose)
 
 
-def _newton_loop(eval_obj, dtype, init_pose: Pose3, cfg: NewtonConfig) -> NewtonResult:
+def regularize_step(pose: Pose3, grad, hess, n_contrib, cfg: NewtonConfig, reg_pose):
+    """Add the prior-pose quadratic penalty to (grad, hess) — shared by the
+    XLA and fused-Pallas Newton loops. No-op when reg_weight == 0 or no
+    reg_pose is given (resolved at trace time)."""
+    if reg_pose is None or cfg.reg_weight <= 0.0:
+        return grad, hess
+    dtype = grad.dtype
+    w = jnp.asarray(cfg.reg_weight, dtype) * jnp.maximum(n_contrib, 1).astype(dtype)
+    xi = se3.local(se3.cast(reg_pose, dtype), se3.cast(pose, dtype))
+    return grad + w * xi, hess + w * jnp.eye(6, dtype=dtype)
+
+
+def _newton_loop(
+    eval_obj, dtype, init_pose: Pose3, cfg: NewtonConfig, reg_pose: Pose3 = None
+) -> NewtonResult:
     def cond(state):
         pose, it, converged, *_ = state
         return (it < cfg.max_iterations) & (~converged)
@@ -95,7 +124,10 @@ def _newton_loop(eval_obj, dtype, init_pose: Pose3, cfg: NewtonConfig) -> Newton
     def body(state):
         pose, it, _converged, _score, _hess, _nc = state
         obj = eval_obj(pose)
-        step = jnp.linalg.solve(obj.hess, -obj.grad)
+        grad, hess = regularize_step(
+            pose, obj.grad, obj.hess, obj.n_contrib, cfg, reg_pose
+        )
+        step = jnp.linalg.solve(hess, -grad)
         step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
         norm = jnp.linalg.norm(step)
         scale = jnp.where(

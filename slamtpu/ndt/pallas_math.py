@@ -191,15 +191,22 @@ def gather_megaT(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
 def fused_objective(
     ptsT, megaT, pose: Pose3, d1, d2, hess_lambda=1e-6,
     gicp: bool = False, gicp_max_mahal: float = 9.0, block: int = None,
+    interpret: bool = None,
 ) -> NdtObjective:
     """Pallas side: the fused pair math on pre-gathered mega rows.
 
     With ``gicp=True`` the pair weight switches to the trimmed quadratic
     GICP cost (use a RegMap built from gicp_map; d1/d2 are ignored).
     ``block`` overrides the point-block size (default BLOCK; tests on small
-    sharded inputs use smaller blocks)."""
+    sharded inputs use smaller blocks). ``interpret`` must be True when the
+    computation executes on non-TPU devices; None falls back to the default
+    backend — callers that place work on an explicit (e.g. CPU test) mesh
+    while a TPU is the default backend MUST pass it (the default backend is
+    not where a shard_map over another platform's mesh runs)."""
     N = ptsT.shape[1]
     block = block or BLOCK
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     assert N % block == 0, f"N={N} must be a multiple of block={block}"
     params = jnp.concatenate(
         [
@@ -220,7 +227,7 @@ def fused_objective(
             pl.BlockSpec((96, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+        interpret=interpret,  # CPU tests / CPU meshes run interpreted
     )(params, ptsT, megaT)[0]
 
     score = out[0]
@@ -256,11 +263,12 @@ def gicp_align_fused(
     grid_shape: tuple,
     inner_iters: int = 1,
     max_mahal: float = 9.0,
+    interpret: bool = None,
 ):
     """VGICP registration on the fused kernel (cf. ndt.gicp)."""
     return newton_align_fused(
         points, mask, regmap, init_pose, cfg, grid_shape, inner_iters,
-        _gicp=True, _gicp_max_mahal=max_mahal,
+        _gicp=True, _gicp_max_mahal=max_mahal, interpret=interpret,
     )
 
 
@@ -272,6 +280,8 @@ def newton_align_fused(
     cfg,  # NewtonConfig
     grid_shape: tuple,
     inner_iters: int = 1,
+    reg_pose: Pose3 = None,
+    interpret: bool = None,
     _gicp: bool = False,
     _gicp_max_mahal: float = 9.0,
 ) -> "NewtonResult":
@@ -282,9 +292,12 @@ def newton_align_fused(
     fraction of the resolution — the same approximation as SVN shared-gather),
     cutting the gather-bound cost accordingly. ``inner_iters=1`` is exact
     DIRECT7 per step.
+
+    ``reg_pose`` (with ``cfg.reg_weight > 0``) adds the prior-pose
+    regularization penalty to each step (NewtonConfig.reg_weight).
     """
     from .constants import gauss_constants
-    from .newton import NewtonResult
+    from .newton import NewtonResult, regularize_step
 
     d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
     dtype = jnp.float32
@@ -294,9 +307,12 @@ def newton_align_fused(
     def one_step(pose, megaT):
         obj = fused_objective(
             ptsT, megaT, pose, d1, d2, cfg.hess_lambda,
-            gicp=_gicp, gicp_max_mahal=_gicp_max_mahal,
+            gicp=_gicp, gicp_max_mahal=_gicp_max_mahal, interpret=interpret,
         )
-        step = jnp.linalg.solve(obj.hess, -obj.grad)
+        grad, hess = regularize_step(
+            pose, obj.grad, obj.hess, obj.n_contrib, cfg, reg_pose
+        )
+        step = jnp.linalg.solve(hess, -grad)
         step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
         norm = jnp.linalg.norm(step)
         scale = jnp.where(

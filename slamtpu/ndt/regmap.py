@@ -48,6 +48,7 @@ class RegMap(NamedTuple):
     origin: jax.Array  # (3,)
     resolution: jax.Array  # ()
     num_valid: jax.Array  # () int32
+    overflow: jax.Array  # () int32: dilated cells dropped (capacity + bounds)
 
     @property
     def dilated_capacity(self) -> int:
@@ -55,7 +56,10 @@ class RegMap(NamedTuple):
 
 
 def _unique_sorted(keys: jax.Array, capacity: int):
-    """Sorted unique keys (INVALID-padded) from a sorted-with-dups array."""
+    """Sorted unique keys (INVALID-padded) from an array with duplicates.
+
+    Also returns the number of distinct valid keys, so callers can detect
+    capacity overflow (truncated voxels silently vanish otherwise)."""
     order = jnp.argsort(keys)
     sk = keys[order]
     first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & (
@@ -63,7 +67,7 @@ def _unique_sorted(keys: jax.Array, capacity: int):
     )
     uk = jnp.where(first, sk, voxel.INVALID_KEY)
     uk = jnp.sort(uk)
-    return uk[:capacity]
+    return uk[:capacity], jnp.sum(first, dtype=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("grid_shape", "dilated_capacity"))
@@ -97,7 +101,7 @@ def build_regmap(
     dil = jnp.where(
         jnp.tile(keys != voxel.INVALID_KEY, 7), dil, voxel.INVALID_KEY
     )
-    dkeys = _unique_sorted(dil, D)  # (D,) sorted unique, INVALID tail
+    dkeys, n_distinct = _unique_sorted(dil, D)  # (D,) sorted unique, INVALID tail
     dvalid = dkeys != voxel.INVALID_KEY
     dcoords = voxel.unpack(dkeys)
 
@@ -116,40 +120,49 @@ def build_regmap(
         return jnp.where(ing, (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2], n_cells)
 
     dflat = cell_of(dcoords, dvalid)
+    # overflow accounting (truncated cells contribute nothing to registration;
+    # apps warn when this is nonzero): distinct dilated cells beyond the D
+    # capacity, plus surviving cells that fall outside the static grid extent
+    out_of_grid = jnp.sum((dflat == n_cells) & dvalid, dtype=jnp.int32)
+    overflow = jnp.maximum(n_distinct - D, 0) + out_of_grid
     grid = jnp.full((n_cells + 1,), D, jnp.int32)
     grid = grid.at[dflat].set(
         jnp.where(dvalid, jnp.arange(D, dtype=jnp.int32), D), mode="drop"
     )
     grid = grid.at[n_cells].set(D)
 
-    # 4) dilated-row payload table via grid (occupied voxel -> its dilated row)
-    oflat = cell_of(coords, gmap.valid)
-    orow = jnp.where(gmap.valid, grid[oflat], D)
-    payload_d = jnp.zeros((D + 1, 12), dtype).at[orow].set(payload, mode="drop")
-    occupied_d = jnp.zeros((D + 1,), dtype).at[orow].set(
-        gmap.valid.astype(dtype), mode="drop"
-    )
-    occupied_d = occupied_d.at[D].set(0.0)
-
-    # 5) mega-rows: per dilated cell, gather the 7 neighbors through the grid
-    nflat = jnp.stack(
+    # 4) mega-rows, scatter style: occupied voxel v is neighbor-slot j of the
+    # dilated cell at (coords[v] - off_j) — that cell exists in the dilated
+    # set by construction (off_j and -off_j are both DIRECT7 offsets), so one
+    # full-row scatter-add of 7V rows writes every (cell, slot) payload. Rows
+    # are disjoint per (v, j), values land on zeros, so add == set; dropped /
+    # invalid targets go to row D+1 which is sliced off. Full-row scatter-add
+    # measures ~16 ms for 7V=917k x 96f on this backend vs ~100 ms for the
+    # (D, 7)-gather formulation it replaces (D = 4V is mostly padding).
+    trow = jnp.concatenate(
         [
-            cell_of(dcoords + off[None, :], dvalid)
+            grid[cell_of(coords - off[None, :], gmap.valid)]
             for off in voxel.DIRECT7_OFFSETS
-        ],
+        ]
+    )  # (7V,) dilated row receiving each (voxel, slot) payload
+    ok = jnp.tile(gmap.valid, 7) & (trow < D)
+    # dropped updates spread over a V-row drop region (sliced off below) —
+    # funneling them all into one row would serialize the scatter-add
+    cid = jnp.arange(7 * V, dtype=jnp.int32)
+    trow = jnp.where(ok, trow, D + 1 + cid % V)
+    # (7V, 96) update rows: candidate block j carries the payload at columns
+    # 12j..12j+12 and its validity flag at column 84+j — built with 7 static
+    # one-hot blocks (no per-row dynamic slicing, which scatters horribly)
+    tiled = jnp.tile(payload, (7, 1))  # (7V, 12)
+    j_of = jnp.repeat(jnp.arange(7), V)  # (7V,)
+    blocks = [jnp.where((j_of == j)[:, None], tiled, 0.0) for j in range(7)]
+    flags = jnp.stack(
+        [jnp.where(j_of == j, jnp.ones((7 * V,), dtype), 0.0) for j in range(7)],
         axis=1,
-    )  # (D, 7)
-    nrow = grid[nflat]  # (D, 7) dilated rows of neighbors (D = missing)
-    packed = jnp.concatenate(
-        [
-            payload_d[nrow].reshape(D, 7 * 12),
-            occupied_d[nrow],  # (D, 7) validity flags
-            jnp.zeros((D, 5), dtype),
-        ],
-        axis=1,
-    )  # (D, 96)
-    packed = jnp.where(dvalid[:, None], packed, 0.0)
-    packed = jnp.concatenate([packed, jnp.zeros((1, 96), dtype)], axis=0)
+    )  # (7V, 7)
+    cols = jnp.concatenate(blocks + [flags, jnp.zeros((7 * V, 5), dtype)], axis=1)
+    packed = jnp.zeros((D + 1 + V, 96), dtype).at[trow].add(cols)
+    packed = packed[: D + 1]
 
     return RegMap(
         packed=packed,
@@ -158,6 +171,7 @@ def build_regmap(
         origin=gmap.origin,
         resolution=gmap.resolution,
         num_valid=gmap.num_valid(),
+        overflow=overflow,
     )
 
 

@@ -78,7 +78,9 @@ class TestShardedNewton:
         smask = jax.device_put(new_mask, NamedSharding(mesh, P("data")))
         pose, hess, score, iters, new_stats = jax.jit(
             lambda p, m, st, g: lo_train_step(
-                mesh, p, m, st, g, resolution=1.0, capacity=4096, max_iterations=5
+                mesh, p, m, st, g, resolution=1.0, capacity=4096,
+                grid_shape=(64, 64, 64), max_iterations=4, inner_iters=2,
+                block=128,
             )
         )(spts, smask, stats, se3.identity(dtype=pts.dtype))
         assert np.isfinite(np.asarray(pose.trans)).all()
