@@ -46,6 +46,33 @@ def np_quat_to_rot(q) -> np.ndarray:
     )
 
 
+def np_pose7(rot, trans) -> np.ndarray:
+    """(7,) [qw qx qy qz tx ty tz] from a numpy rotation matrix + translation
+    (the KeyFrameStats pose encoding; cf. map.hpp:91-108)."""
+    R = np.asarray(rot, np.float64)
+    t = np.asarray(trans, np.float64)
+    # Shepperd's method (branch on the largest diagonal term)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array(
+            [0.25 * s, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+             (R[1, 0] - R[0, 1]) / s]
+        )
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 0.0)) * 2
+        q = np.empty(4)
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+    if q[0] < 0:
+        q = -q
+    return np.concatenate([q, t])
+
+
 def np_between(a, b):
     """Relative pose a^-1 b for host (rot, trans) numpy tuples —
     (Ra^T Rb, Ra^T (tb - ta)), GTSAM Pose3::between semantics."""

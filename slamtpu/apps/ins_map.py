@@ -29,11 +29,23 @@ log = logging.getLogger("slamtpu.ins_map")
 
 @partial(jax.jit, static_argnames=("capacity",))
 def _accumulate(stats, points, mask, pose, capacity: int):
+    from ..mapping import voxel
+
     world = se3.transform_points(pose, points)
     new = gaussian_map.stats_from_points(
         world, mask, stats.origin, stats.resolution, capacity
     )
-    return gaussian_map.merge_stats(stats, new, capacity)
+    # points outside the packed-key range (beyond GRID_DIM voxels from the
+    # origin) silently drop from the stats — count them so long trajectories
+    # cannot silently lose map content (distinct from capacity overflow)
+    finite = jnp.all(jnp.isfinite(world), axis=-1)
+    keys = voxel.key_of_points(
+        world, stats.origin, 1.0 / stats.resolution, mask & finite
+    )
+    out_of_range = jnp.sum(
+        (keys == voxel.INVALID_KEY) & mask & finite, dtype=jnp.int32
+    )
+    return gaussian_map.merge_stats(stats, new, capacity), out_of_range
 
 
 @dataclasses.dataclass
@@ -47,6 +59,7 @@ class InsMapApp:
         self.trajectory: List[TrajectoryEntry] = []
         self._ref_lla = None
         self._stats = None
+        self.out_of_range_points = 0  # points beyond the packed-key extent
 
     def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
         for synced in self.ingest.synced_frames(replay_path):
@@ -71,9 +84,20 @@ class InsMapApp:
                 jnp.asarray(self.res, jnp.float32),
                 self.cfg.register.map_capacity,
             )
-        self._stats = _accumulate(
+        self._stats, oor = _accumulate(
             self._stats, scan.points, scan.mask, pose, self.cfg.register.map_capacity
         )
+        oor = int(oor)
+        if oor:
+            if self.out_of_range_points == 0:
+                log.warning(
+                    "frame %d: %d points beyond the map key range (+-%d voxels "
+                    "from the first-pose origin) were dropped — the trajectory "
+                    "has outgrown the grid; start a new map segment (checkpoint "
+                    "+ fresh origin) to keep this content",
+                    synced.scan.frame_id, oor, 512,
+                )
+            self.out_of_range_points += oor
         self.trajectory.append(
             TrajectoryEntry(synced.t_end, synced.scan.frame_id, pose, pose)
         )
@@ -101,9 +125,10 @@ class InsMapApp:
         valid = np.asarray(gmap.valid)
         write_ply(np.asarray(gmap.mean)[valid], f"{prefix}_means.ply")
         log.info(
-            "exported %d valid voxels (%d points, overflow=%d)",
+            "exported %d valid voxels (%d points, overflow=%d, out_of_range=%d)",
             valid.sum(),
             int(np.asarray(self._stats.n).sum()),
             int(self._stats.overflow),
+            self.out_of_range_points,
         )
         return gmap

@@ -46,7 +46,7 @@ from ..ndt import NewtonConfig
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
 from .common import (IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew,
-    np_between, np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
+    np_between, np_pose7, np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
 from .odom_ndt import _register_step
 from .packed import PackedStep
 
@@ -57,8 +57,9 @@ IMU_WINDOW_CAPACITY = 64  # padded samples per scan interval (50 Hz x ~0.2 s)
 
 @partial(jax.jit, static_argnames=("cfg", "capacity", "min_points", "grid_shape"))
 def _ligo_step(
-    prev_points,  # (N, 3) previous keyframe cloud, BODY frame
-    prev_mask,
+    kf_points,  # (K, N, 3) keyframe-window clouds, BODY frame
+    kf_mask,  # (K, N) False rows disable empty slots
+    kf_poses,  # (K, 12) optimized world poses of the window keyframes
     new_points,  # (N, 3) body frame
     new_mask,
     imu,  # (IMU_WINDOW_CAPACITY, 7): [accel(3), gyro(3), dt]
@@ -71,11 +72,14 @@ def _ligo_step(
 ):
     """One fully-fused tightly-coupled keyframe (pipeline_ligo_tc.cpp:
     429-542): preintegrate the IMU window, forward-predict, transform the
-    target cloud to its optimized pose, build the NDT map, register from the
-    IMU prediction. Small inputs ride in two packed arrays; the result is
-    ONE flat vector [pim(292), predicted_vel(3), pose(12), hessian(36),
-    score, iterations, converged] — per-array transfers cost ~6 ms each via
-    the TPU tunnel and used to dominate keyframe time."""
+    target keyframe WINDOW to its optimized poses (the reference accumulates
+    the targetID window into one fused target cloud, :519-527), build the
+    NDT map, register from the IMU prediction with the prior-pose
+    regularization pulling toward it (setRegularizationPose, :531). Small
+    inputs ride in packed arrays; the result is ONE flat vector [pim(292),
+    predicted_vel(3), pose(12), hessian(36), score, iterations, converged] —
+    per-array transfers cost ~6 ms each via the TPU tunnel and used to
+    dominate keyframe time."""
     f32 = jnp.float32
     prev_pose = Pose3(flat[0:9].reshape(3, 3), flat[9:12])
     vel = flat[12:15]
@@ -84,11 +88,18 @@ def _ligo_step(
     origin = flat[24:27].astype(f32)
     pim = integrate(imu[:, 0:3], imu[:, 3:6], imu[:, 6], bias, noise)
     predicted = predict(NavState(prev_pose, vel), bias, pim, gravity)
+    K, N, _ = kf_points.shape
+    wposes = Pose3(
+        kf_poses[:, 0:9].reshape(K, 3, 3).astype(f32), kf_poses[:, 9:12].astype(f32)
+    )
+    world = jax.vmap(se3.transform_points)(wposes, kf_points)
+    pred32 = se3.cast(predicted.pose, f32)
     res = _register_step(
-        se3.transform_points(se3.cast(prev_pose, f32), prev_points),
-        prev_mask, new_points, new_mask,
-        se3.cast(predicted.pose, f32), origin,
+        world.reshape(K * N, 3),
+        kf_mask.reshape(K * N), new_points, new_mask,
+        pred32, origin,
         cfg, capacity, min_points, grid_shape,
+        reg_pose=pred32,
     )
     dt = flat.dtype
     return jnp.concatenate(
@@ -121,6 +132,9 @@ class LigoTcApp:
             outlier_ratio=reg.svn_outlier_ratio,
             max_iterations=reg.ndt_max_iterations,
             trans_eps=reg.ndt_transform_epsilon,
+            # prior-pose pull toward the IMU prediction
+            # (setRegularizationScaleFactor, pipeline_ligo_tc.cpp:293)
+            reg_weight=reg.regularization_scale_factor,
         )
         self.noise = ImuNoise.from_imu_config(self.cfg.imu)
         self.trajectory: List[TrajectoryEntry] = []
@@ -129,7 +143,13 @@ class LigoTcApp:
         self._ref_lla: Optional[np.ndarray] = None
         self._origin = None
         self._gravity = None
-        self._prev_cloud = None
+        # registration target = the keyframe window fused at its optimized
+        # poses (pipeline_ligo_tc.cpp:519-527): body-frame cloud ring plus,
+        # per slot, the live window dict whose "pose" the re-solve updates
+        self._kf_clouds = None  # (K, N, 3) body frame
+        self._kf_masks = None  # (K, N)
+        self._kf_slots: List[Optional[dict]] = []
+        self._kf_head = 0
         self._trust = robust.trust_gain_init_np()
         self._win: List[dict] = []  # per-state dicts (numpy): pose, vel, bias, ins, pim
         self._fuse_step = PackedStep(self._fuse_device)
@@ -181,6 +201,29 @@ class LigoTcApp:
             k += 1
         return imu
 
+    def _insert_keyframe(self, scan, win_entry: dict):
+        """Insert the scan (body frame) into the registration ring; the slot
+        keeps a reference to the live window dict so later window re-solves
+        update its world pose for free (the reference re-fetches optimized
+        poses when fusing the target window, pipeline_ligo_tc.cpp:519-526)."""
+        self._kf_clouds = self._kf_clouds.at[self._kf_head].set(scan.points)
+        self._kf_masks = self._kf_masks.at[self._kf_head].set(scan.mask)
+        self._kf_slots[self._kf_head] = win_entry
+        self._kf_head = (self._kf_head + 1) % self._kf_clouds.shape[0]
+
+    def _window_poses(self) -> np.ndarray:
+        """(K, 12) optimized world poses of the ring slots (identity rows for
+        empty slots — their masks are all-False anyway)."""
+        K = self._kf_clouds.shape[0]
+        out = np.zeros((K, 12), np.float32)
+        for k, entry in enumerate(self._kf_slots):
+            if entry is None:
+                out[k, 0:9] = np.eye(3).ravel()
+            else:
+                out[k, 0:9] = np.asarray(entry["pose"][0], np.float64).ravel()
+                out[k, 9:12] = np.asarray(entry["pose"][1], np.float64)
+        return out
+
     def process(self, synced):
         with self.timer.span("project"):
             scan = self.ingest.project(synced)
@@ -198,18 +241,22 @@ class LigoTcApp:
         ins_sigma = np.concatenate([np.asarray(nav.sigma_rpy), np.asarray(nav.sigma_pos)])
         vel_ned = np.asarray(nav.vel_ned, np.float64)
 
-        if self._prev_cloud is None:
+        if self._kf_clouds is None:
             grid_half = 512.0 * self.newton_cfg.resolution
             self._origin = ins_np[1] - grid_half
-            self._prev_cloud = (scan.points, scan.mask)  # body frame
-            self._win = [
-                dict(
-                    pose=ins_np, vel=vel_ned, bias=np.zeros(6),
-                    ins=(ins_np, np.maximum(ins_sigma, 1e-6)),
-                    ins_vel=vel_ned,
-                    pim=None, rel=None, rel_cov=None,
-                )
-            ]
+            K = max(int(self.cfg.register.keyframe_window), 1)
+            N = scan.points.shape[0]
+            self._kf_clouds = jnp.zeros((K, N, 3), jnp.float32)
+            self._kf_masks = jnp.zeros((K, N), bool)
+            self._kf_slots = [None] * K
+            first = dict(
+                pose=ins_np, vel=vel_ned, bias=np.zeros(6),
+                ins=(ins_np, np.maximum(ins_sigma, 1e-6)),
+                ins_vel=vel_ned,
+                pim=None, rel=None, rel_cov=None,
+            )
+            self._insert_keyframe(scan, first)
+            self._win = [first]
             self.trajectory.append(
                 TrajectoryEntry(synced.t_end, synced.scan.frame_id, ins_pose, ins_pose)
             )
@@ -233,7 +280,7 @@ class LigoTcApp:
         with self.timer.span("ndt"):
             out = np.asarray(
                 _ligo_step(
-                    self._prev_cloud[0], self._prev_cloud[1],
+                    self._kf_clouds, self._kf_masks, self._window_poses(),
                     scan.points, scan.mask,
                     imu, flat, self.noise,
                     self.newton_cfg,
@@ -267,20 +314,19 @@ class LigoTcApp:
         )
         scaled_sigma = np.maximum(ins_sigma * float(scale), 1e-6)
 
-        self._win.append(
-            dict(
-                pose=res_pose, vel=predicted_vel, bias=np.asarray(prev["bias"]),
-                ins=(ins_np, scaled_sigma), ins_vel=vel_ned,
-                pim=pim_np, rel=rel, rel_cov=lidar_cov,
-            )
+        entry = dict(
+            pose=res_pose, vel=predicted_vel, bias=np.asarray(prev["bias"]),
+            ins=(ins_np, scaled_sigma), ins_vel=vel_ned,
+            pim=pim_np, rel=rel, rel_cov=lidar_cov,
         )
+        self._win.append(entry)
         if len(self._win) > self.window:
             self._win.pop(0)
 
         with self.timer.span("smoother"):
             # _fuse writes the optimized states back into self._win
             pose_opt, vel_opt, bias_opt, cov_opt = self._fuse()
-        self._prev_cloud = (scan.points, scan.mask)  # body; _ligo_step transforms
+        self._insert_keyframe(scan, entry)  # body; _ligo_step transforms
         self.trajectory.append(
             TrajectoryEntry(
                 synced.t_end, synced.scan.frame_id,
@@ -292,12 +338,20 @@ class LigoTcApp:
                 frame_id=synced.scan.frame_id,
                 timestamp=synced.t_end,
                 num_points=int(scan.num_points),
+                align_time_ms=self.timer.last_ms("ndt"),
                 ndt_iterations=int(ndt_iters),
                 converged=bool(ndt_converged > 0.5),
                 score=float(ndt_score),
                 ins_sigma=ins_sigma,
                 scaled_sigma=scaled_sigma,
                 lidar_sigma=np.sqrt(np.maximum(np.diag(lidar_cov), 0.0)),
+                optimized_sigma=np.sqrt(np.maximum(np.diag(cov_opt)[:6], 0.0))
+                if cov_opt is not None
+                else np.zeros(6),
+                ins_pose=np_pose7(ins_np[0], ins_np[1]),
+                optimized_pose=np_pose7(pose_opt[0], pose_opt[1]),
+                # INS-vs-optimized translation gap (pipeline.cpp:745-752)
+                pose_rmse=float(np.linalg.norm(ins_np[1] - pose_opt[1])),
             )
         )
 

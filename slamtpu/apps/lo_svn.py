@@ -116,7 +116,7 @@ class LoSvnApp:
             kernel_h=reg.svn_kernel_h,
             step_size=reg.svn_step_size,
             stop_thresh=reg.svn_stop_thresh,
-            use_direct1=reg.search_method == "DIRECT1",
+            use_direct1=reg.svn_search_method == "DIRECT1",
         )
         self.trajectory: List[TrajectoryEntry] = []
         self.stats = StatsArchive()
@@ -205,6 +205,8 @@ class LoSvnApp:
         )
 
     def _record(self, synced, scan, pose, ins_pose, cov, iters, converged, score):
+        from .common import np_pose7
+
         self.trajectory.append(
             TrajectoryEntry(
                 timestamp=synced.t_end,
@@ -214,16 +216,27 @@ class LoSvnApp:
                 covariance=cov,
             )
         )
+        ins7 = np_pose7(np.asarray(ins_pose.rot), np.asarray(ins_pose.trans))
+        opt7 = np_pose7(np.asarray(pose.rot), np.asarray(pose.trans))
         self.stats.add(
             KeyFrameStats(
                 frame_id=synced.scan.frame_id,
                 timestamp=synced.t_end,
                 num_points=int(scan.num_points),
+                align_time_ms=self.timer.last_ms("svn_step"),
                 ndt_iterations=iters,
                 converged=converged,
                 score=score,
                 ins_sigma=np.concatenate(
                     [np.asarray(synced.ins[-1].sigma_rpy), np.asarray(synced.ins[-1].sigma_pos)]
                 ),
+                lidar_sigma=np.sqrt(np.maximum(np.diag(cov), 0.0))
+                if cov is not None
+                else np.zeros(6),
+                ins_pose=ins7,
+                optimized_pose=opt7,
+                # per-keyframe INS-vs-optimized translation gap
+                # (pipeline.cpp:745-752)
+                pose_rmse=float(np.linalg.norm(ins7[4:] - opt7[4:])),
             )
         )

@@ -36,14 +36,27 @@ from ..ndt import NewtonConfig, newton_align
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
 from .common import (IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew,
-    np_between, np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
+    np_between, np_pose7 as _p7, np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
 from .packed import PackedStep
 
 log = logging.getLogger("slamtpu.odom_ndt")
 
 
+def _use_fused(new_points):
+    """Fused Pallas path on real TPU (interpret mode on CPU would dominate
+    test runtimes; the XLA path is numerically equivalent)."""
+    from ..ndt.pallas_math import BLOCK
+
+    return (
+        jax.default_backend() == "tpu"
+        and new_points.dtype == jnp.float32
+        and new_points.shape[0] % BLOCK == 0
+    )
+
+
 @partial(
-    jax.jit, static_argnames=("cfg", "capacity", "min_points", "grid_shape")
+    jax.jit,
+    static_argnames=("cfg", "capacity", "min_points", "grid_shape", "method", "svn_cfg"),
 )
 def _register_step(
     target_points,  # (N, 3) previous keyframe cloud, world frame
@@ -56,33 +69,91 @@ def _register_step(
     capacity: int,
     min_points: int,
     grid_shape: tuple = None,
+    reg_pose: Pose3 = None,
+    method: str = "NDT_OMP",
+    svn_cfg=None,  # ndt.SvnConfig, required for method == "SVNNDT"
+    key=None,  # PRNG key, required for method == "SVNNDT"
 ):
+    """Build the target map and register by the configured engine — the
+    analog of the reference's registration_method switch
+    (/root/reference/run/pipeline.cpp:464-481, src/registercallback.cpp:41-61):
+    NDT_OMP -> Newton P2D-NDT, SVNNDT -> SVN particle flow (posterior mean),
+    GICP -> voxelized GICP, NDT_OMP_MULTIRES -> coarse-to-fine pyramid."""
+    if method == "NDT_OMP_MULTIRES":
+        from ..ndt.multires import build_pyramid, multires_align
+
+        levels = build_pyramid(
+            target_points, target_mask, origin,
+            resolutions=[2.0 * cfg.resolution, cfg.resolution],
+            capacity=capacity,
+            grid_shape=grid_shape or (256, 256, 64),
+            min_points_per_voxel=min_points,
+            max_iterations=[max(cfg.max_iterations // 3, 3), cfg.max_iterations],
+        )
+        return multires_align(new_points, new_mask, levels, init_guess)
+
     gmap = gaussian_map.build_map(
         target_points, target_mask, origin, cfg.resolution,
         capacity=capacity, min_points_per_voxel=min_points,
     )
+    if method == "GICP":
+        from ..ndt import build_regmap, gicp_align, gicp_align_fused, gicp_map
+
+        regmap = build_regmap(gicp_map(gmap), grid_shape=grid_shape or (256, 256, 64))
+        if _use_fused(new_points) and grid_shape is not None:
+            return gicp_align_fused(
+                new_points, new_mask, regmap, init_guess, cfg,
+                grid_shape, inner_iters=4,
+            )
+        return gicp_align(
+            new_points, new_mask, regmap, init_guess, cfg, grid_shape or (256, 256, 64)
+        )
+    if method == "SVNNDT":
+        from ..ndt import NewtonResult, build_regmap, svn_align, svn_align_reg
+
+        if grid_shape is None:
+            res = svn_align(new_points, new_mask, gmap, init_guess, key, svn_cfg)
+        else:
+            regmap = build_regmap(gmap, grid_shape=grid_shape)
+            res = svn_align_reg(
+                new_points, new_mask, regmap, init_guess, key, svn_cfg, grid_shape
+            )
+        # adapt the posterior to the Newton interface: H = -cov^-1 so that
+        # the apps' lidar_cov = -(H)^-1 recovers the SVN posterior covariance
+        hess = -jnp.linalg.inv(
+            res.covariance + 1e-9 * jnp.eye(6, dtype=res.covariance.dtype)
+        )
+        return NewtonResult(
+            pose=res.pose,
+            hessian=hess,
+            score=jnp.zeros((), new_points.dtype),
+            iterations=res.iterations,
+            converged=res.converged,
+            n_contrib=jnp.zeros((), jnp.int32),
+        )
+
     if grid_shape is None:
-        return newton_align(new_points, new_mask, gmap, init_guess, cfg)
+        return newton_align(new_points, new_mask, gmap, init_guess, cfg, reg_pose=reg_pose)
     from ..ndt import build_regmap, newton_align_reg
-    from ..ndt.pallas_math import BLOCK, newton_align_fused
+    from ..ndt.pallas_math import newton_align_fused
 
     regmap = build_regmap(gmap, grid_shape=grid_shape)
-    # fused Pallas path on real TPU (interpret mode on CPU would dominate
-    # test runtimes; the XLA path is numerically equivalent)
-    if (
-        jax.default_backend() == "tpu"
-        and new_points.dtype == jnp.float32
-        and new_points.shape[0] % BLOCK == 0
-    ):
+    if _use_fused(new_points):
         return newton_align_fused(
-            new_points, new_mask, regmap, init_guess, cfg, grid_shape, inner_iters=4
+            new_points, new_mask, regmap, init_guess, cfg, grid_shape,
+            inner_iters=4, reg_pose=reg_pose,
         )
-    return newton_align_reg(new_points, new_mask, regmap, init_guess, cfg, grid_shape)
+    return newton_align_reg(
+        new_points, new_mask, regmap, init_guess, cfg, grid_shape, reg_pose=reg_pose
+    )
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "capacity", "min_points", "grid_shape", "max_td", "max_rd"),
+    static_argnames=(
+        "cfg", "capacity", "min_points", "grid_shape", "max_td", "max_rd",
+        "method", "svn_cfg",
+    ),
 )
 def _odom_step(
     prev_points,  # (N, 3) previous keyframe cloud, BODY frame
@@ -96,6 +167,9 @@ def _odom_step(
     grid_shape: tuple,
     max_td: float,
     max_rd: float,
+    method: str = "NDT_OMP",
+    svn_cfg=None,
+    key=None,
 ):
     """One fully-fused odometry keyframe (pipeline.cpp:432-592): transform
     the target cloud to its optimized world pose, build the NDT map,
@@ -118,6 +192,7 @@ def _odom_step(
     res = _register_step(
         target, prev_mask, new_points, new_mask, guess, origin,
         cfg, capacity, min_points, grid_shape,
+        method=method, svn_cfg=svn_cfg, key=key,
     )
     blended, w = robust.deviation_gated_blend(guess, res.pose, max_td, max_rd)
     return jnp.concatenate(
@@ -145,17 +220,44 @@ class OdomNdtApp:
     max_rot_deviation: float = 0.1  # pipeline.cpp:455
     loop_closure: bool = False  # voxel-bucket candidate search + NDT verify
     loop_cfg: object = None  # fusion.loop_closure.LoopClosureConfig
+    method: Optional[str] = None  # None -> cfg.register.method
 
     def __post_init__(self):
         self.ingest = IngestPipeline(self.cfg)
         reg = self.cfg.register
+        # engine choice from the config, as the reference's
+        # registration_method switch (run/pipeline.cpp:464-481;
+        # src/registercallback.cpp:41-43)
+        known = ("NDT_OMP", "SVNNDT", "GICP", "NDT_OMP_MULTIRES")
+        if self.method is None:
+            self.method = reg.method
+        if self.method not in known:
+            raise ValueError(f"unknown registration method {self.method!r}; known: {known}")
         self.newton_cfg = NewtonConfig(
             resolution=reg.ndt_resolution,
             outlier_ratio=reg.svn_outlier_ratio,
             max_iterations=reg.ndt_max_iterations,
-            trans_eps=reg.ndt_transform_epsilon,
+            trans_eps=reg.gicp_transform_epsilon
+            if self.method == "GICP"
+            else reg.ndt_transform_epsilon,
             use_direct1=reg.search_method == "DIRECT1",
         )
+        self.svn_cfg = None
+        self._key = None
+        if self.method == "SVNNDT":
+            from ..ndt import SvnConfig
+
+            self.svn_cfg = SvnConfig(
+                resolution=reg.svn_resolution,
+                outlier_ratio=reg.svn_outlier_ratio,
+                num_particles=reg.svn_particles,
+                max_iterations=reg.svn_max_iterations,
+                kernel_h=reg.svn_kernel_h,
+                step_size=reg.svn_step_size,
+                stop_thresh=reg.svn_stop_thresh,
+                use_direct1=reg.svn_search_method == "DIRECT1",
+            )
+            self._key = jax.random.PRNGKey(1234)
         self.trajectory: List[TrajectoryEntry] = []
         self.stats = StatsArchive()
         self.timer = StageTimer()
@@ -205,6 +307,13 @@ class OdomNdtApp:
                 break
         return self.trajectory
 
+    def _next_key(self):
+        """Fresh PRNG key per keyframe (SVNNDT engine only)."""
+        if self._key is None:
+            return None
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
     def process(self, synced):
         with self.timer.span("project"):
             scan = self.ingest.project(synced)
@@ -253,6 +362,9 @@ class OdomNdtApp:
                     else None,
                     self.max_trans_deviation,
                     self.max_rot_deviation,
+                    method=self.method,
+                    svn_cfg=self.svn_cfg,
+                    key=self._next_key(),
                 ),
                 np.float64,
             )
@@ -307,6 +419,13 @@ class OdomNdtApp:
                 optimized_sigma=np.sqrt(np.maximum(np.diag(cov_opt)[:6], 0.0))
                 if cov_opt is not None
                 else np.zeros(6),
+                align_time_ms=self.timer.last_ms("ndt"),
+                ins_pose=_p7(np.asarray(ins_pose.rot), np.asarray(ins_pose.trans)),
+                optimized_pose=_p7(pose_opt[0], pose_opt[1]),
+                # INS-vs-optimized translation gap (pipeline.cpp:745-752)
+                pose_rmse=float(
+                    np.linalg.norm(np.asarray(ins_pose.trans) - np.asarray(pose_opt[1]))
+                ),
                 trust_weight=float(w),
             )
         )

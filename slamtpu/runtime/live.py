@@ -51,6 +51,9 @@ class LivePipeline:
         self._q: queue.Queue = queue.Queue(maxsize=queue_capacity)
         self._stop = threading.Event()
         self.dropped_frames = 0
+        # UDP-level failures, incl. receive-timeout stalls (observable by
+        # supervisors; the reference surfaces these via its error callback)
+        self.errors: list = []
 
     # --- reactor-side callbacks ---------------------------------------
     def _on_lidar(self, payload: bytes):
@@ -73,6 +76,7 @@ class LivePipeline:
             log.warning("device worker behind; dropping frame %d", synced.scan.frame_id)
 
     def _on_error(self, exc):
+        self.errors.append(exc)
         log.error("UDP error: %s", exc)
 
     # --- device worker -------------------------------------------------

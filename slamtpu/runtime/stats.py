@@ -67,6 +67,7 @@ class StageTimer:
     def __init__(self):
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        self.last: Dict[str, float] = {}  # most recent span, seconds
 
     @contextmanager
     def span(self, name: str):
@@ -77,6 +78,10 @@ class StageTimer:
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
+            self.last[name] = dt
+
+    def last_ms(self, name: str) -> float:
+        return 1e3 * self.last.get(name, 0.0)
 
     def summary(self) -> str:
         return " | ".join(

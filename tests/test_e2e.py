@@ -82,6 +82,7 @@ class TestLoSvn:
         assert len(traj) == N_SWEEPS - 1
         errs = traj_errors(traj, gt)
         assert errs.max() < 0.3, errs
+        assert_stats_filled(app)
         # INS-publish parity mode matches the INS poses exactly
         app2 = LoSvnApp(cfg, publish="ins")
         traj2 = app2.run_replay(path)
@@ -89,6 +90,17 @@ class TestLoSvn:
             np.testing.assert_allclose(
                 np.asarray(e.pose.trans), np.asarray(e.ins_pose.trans), atol=1e-9
             )
+
+
+def assert_stats_filled(app):
+    """Every KeyFrameStats field the reference populates must be populated
+    (map.hpp:91-108 filled at pipeline.cpp:522-527,667-673,745-761)."""
+    r = app.stats.records[-1]
+    assert r.align_time_ms > 0.0
+    assert abs(np.linalg.norm(r.ins_pose[:4]) - 1.0) < 1e-6  # unit quaternion
+    assert abs(np.linalg.norm(r.optimized_pose[:4]) - 1.0) < 1e-6
+    assert np.isfinite(r.pose_rmse)
+    assert np.isfinite(r.lidar_sigma).all()
 
 
 class TestOdomNdt:
@@ -103,6 +115,46 @@ class TestOdomNdt:
         assert app.stats.records[-1].ndt_iterations > 0
         assert traj[-1].covariance is not None
         assert np.isfinite(traj[-1].covariance).all()
+        assert_stats_filled(app)
+        assert (app.stats.records[-1].optimized_sigma > 0).all()
+
+
+class TestRegistrationMethodDispatch:
+    """The reference switches engines on registration_method
+    (run/pipeline.cpp:464-481, src/registercallback.cpp:41-61); every engine
+    must be reachable from the config."""
+
+    def _run(self, replay, method):
+        path, gt, cfg = replay
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, register=_dc.replace(cfg.register, method=method))
+        app = OdomNdtApp(cfg, window=4)
+        assert app.method == method
+        traj = app.run_replay(path, max_keyframes=4)
+        errs = traj_errors(traj, gt)
+        assert np.isfinite(errs).all()
+        return errs
+
+    def test_gicp(self, replay):
+        errs = self._run(replay, "GICP")
+        assert errs.max() < 0.5, errs
+
+    def test_multires(self, replay):
+        errs = self._run(replay, "NDT_OMP_MULTIRES")
+        assert errs.max() < 0.3, errs
+
+    def test_newton(self, replay):
+        errs = self._run(replay, "NDT_OMP")
+        assert errs.max() < 0.3, errs
+
+    def test_unknown_method_rejected(self, replay):
+        path, gt, cfg = replay
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, register=_dc.replace(cfg.register, method="ICP"))
+        with pytest.raises(ValueError, match="unknown registration method"):
+            OdomNdtApp(cfg)
 
 
 class TestLigoTc:
@@ -113,6 +165,7 @@ class TestLigoTc:
         assert len(traj) == N_SWEEPS - 1
         errs = traj_errors(traj, gt)
         assert errs.max() < 0.5, errs
+        assert_stats_filled(app)
 
 
 class TestInsMap:

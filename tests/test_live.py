@@ -73,3 +73,64 @@ class TestLivePipeline:
         streams = {s for s, _, _ in rec}
         assert streams == {STREAM_LIDAR, STREAM_COMPASS}
         assert len(rec) > 50
+
+    def test_stalled_stream_reported_and_survived(self, tmp_path):
+        """Kill one sensor stream mid-run: the receive-timeout watchdog must
+        report the stall through the error callback (udpsocket.hpp:213-254
+        deadline semantics) and the pipeline must keep consuming the live
+        stream afterwards."""
+        meta = small_meta()
+        cfg = make_cfg(meta)
+        replay_path = str(tmp_path / "sim.rpl")
+        simulate_replay(replay_path, meta, cfg.lidar, n_sweeps=8)
+
+        app = CollectorApp()
+        lp_port, cp_port = free_port(), free_port()
+        pipeline = LivePipeline(
+            cfg,
+            app,
+            lidar_udp=UdpConfig(
+                host="127.0.0.1", port=lp_port, receive_timeout_s=0.5
+            ),
+            compass_udp=UdpConfig(
+                host="127.0.0.1", port=cp_port, receive_timeout_s=0.5
+            ),
+        )
+
+        packets = list(read_replay(replay_path))
+        half = len(packets) // 2
+
+        def sender():
+            time.sleep(0.3)
+            out = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            n = 0
+            for stream, _ts, payload in packets:
+                # first half: both streams; second half: lidar only (the
+                # compass "sensor" dies mid-run)
+                if n >= half and stream == STREAM_COMPASS:
+                    n += 1
+                    continue
+                port = lp_port if stream == STREAM_LIDAR else cp_port
+                out.sendto(payload, ("127.0.0.1", port))
+                n += 1
+                if n % 40 == 0:
+                    time.sleep(0.01)
+            # keep the lidar stream alive past the watchdog window so the
+            # stall is unambiguous and the pipeline demonstrably survives
+            for stream, _ts, payload in packets[:40]:
+                if stream == STREAM_LIDAR:
+                    out.sendto(payload, ("127.0.0.1", lp_port))
+                    time.sleep(0.02)
+            out.close()
+
+        t = threading.Thread(target=sender, daemon=True)
+        t.start()
+        asyncio.run(pipeline.run(duration_s=5.0))
+        t.join()
+
+        stalls = [e for e in pipeline.errors if isinstance(e, TimeoutError)]
+        assert stalls, "compass stall was not reported"
+        assert any("datagrams" in str(e) for e in stalls)
+        # the pipeline survived: it processed frames from before the stall
+        # and kept running (no exception escaped run())
+        assert len(app.frames) >= 1

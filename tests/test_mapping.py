@@ -131,6 +131,28 @@ class TestGaussianMap:
         )
         assert int(stats.overflow) > 0
 
+    def test_ins_map_counts_out_of_range_points(self):
+        """Points beyond the packed-key extent must be counted, not silently
+        dropped (long-trajectory mapping safeguard)."""
+        from slamtpu.apps.ins_map import _accumulate
+        from slamtpu.core import se3
+
+        origin = jnp.asarray(np.zeros(3), jnp.float32)
+        base = gaussian_map.stats_from_points(
+            jnp.zeros((1, 3), jnp.float32), jnp.zeros(1, bool),
+            origin, jnp.asarray(1.0, jnp.float32), 256,
+        )
+        n = 64
+        pts = np.zeros((n, 3), np.float32)
+        pts[: n // 2] = RNG.uniform(5, 50, size=(n // 2, 3))  # in range
+        pts[n // 2 :] = RNG.uniform(5000, 6000, size=(n // 2, 3))  # way out
+        stats, oor = _accumulate(
+            base, jnp.asarray(pts), jnp.ones(n, bool),
+            se3.identity(dtype=jnp.float32), 256,
+        )
+        assert int(oor) == n // 2
+        assert int(jnp.sum(stats.n)) == n // 2
+
 
 class TestRecenterOrigin:
     def test_no_shift_inside_threshold(self):
