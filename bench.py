@@ -320,6 +320,141 @@ def _app_bench(app_name: str, n_sweeps: int = 50):
                       "detail": detail}))
 
 
+def bench_batch(B: int = 8):
+    """Config 1 throughput variant: B concurrent registrations against one
+    shared map in a single dispatch (newton_align_fused_batch). Aggregate
+    registrations/s is the BASELINE metric; per-scan accuracy asserted."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.core import se3
+    from slamtpu.mapping import gaussian_map
+    from slamtpu.ndt import NewtonConfig, build_regmap, newton_align_fused_batch
+
+    world, pts, mask, origin = _world()
+    gmap = jax.jit(
+        gaussian_map.build_map, static_argnames=("capacity", "min_points_per_voxel")
+    )(pts, mask, origin, RESOLUTION, capacity=MAP_CAPACITY)
+    regmap = build_regmap(gmap, grid_shape=(192, 192, 48))
+    rng = np.random.default_rng(42)
+    xis, srcs = [], []
+    for b in range(B):
+        src = world + rng.normal(0, 0.01, world.shape).astype(np.float32)
+        xi = np.array(
+            [0.004, -0.006, 0.02, 0.6, -0.4, 0.08], np.float32
+        ) * (0.5 + b / B)
+        gt_b = se3.expmap(jnp.asarray(xi))
+        srcs.append(np.asarray(se3.transform_points(se3.inverse(gt_b), jnp.asarray(src))))
+        xis.append(xi)
+    batch_pts = jnp.asarray(np.stack(srcs))
+    batch_mask = jnp.ones((B, N_POINTS), bool)
+    init = se3.identity(dtype=jnp.float32)
+    init_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), init)
+    cfg = NewtonConfig(resolution=RESOLUTION, max_iterations=MAX_ITERS, trans_eps=1e-4)
+    align = jax.jit(
+        newton_align_fused_batch, static_argnames=("cfg", "grid_shape", "inner_iters")
+    )
+    res = align(batch_pts, batch_mask, regmap, init_b, cfg, (192, 192, 48), 10)
+    jax.block_until_ready(res.pose.trans)
+    for b in range(B):
+        err = np.asarray(
+            se3.local(se3.expmap(jnp.asarray(xis[b])), jax.tree.map(lambda a: a[b], res.pose))
+        )
+        assert np.linalg.norm(err[3:]) < 0.05 and np.linalg.norm(err[:3]) < 0.035, (
+            f"scan {b} inaccurate: {err}"
+        )
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        res = align(batch_pts, batch_mask, regmap, init_b, cfg, (192, 192, 48), 10)
+    jax.block_until_ready(res.pose.trans)
+    dt = (time.perf_counter() - t0) / n_rep
+    agg = B / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"batched scan-to-map NDT ({B} scans x 128k pts/dispatch)",
+                "value": round(agg, 2),
+                "unit": "registrations/s (aggregate)",
+                "vs_baseline": round(agg / BASELINE_REG_PER_S, 2),
+                "detail": {
+                    "ms_per_dispatch": round(dt * 1e3, 2),
+                    "ms_per_registration": round(dt * 1e3 / B, 3),
+                    "max_iters": int(np.max(np.asarray(res.iterations))),
+                },
+            }
+        )
+    )
+
+
+def bench_hard_overlap():
+    """Config 1 honesty variant: ~60% overlap + out-of-map clutter + 0.72 m
+    initial offset — real scan-to-map conditions instead of registering a
+    copy of the map's own points."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.core import se3
+    from slamtpu.mapping import gaussian_map
+    from slamtpu.ndt import NewtonConfig, build_regmap, newton_align_fused
+
+    world, pts, mask, origin = _world()
+    gmap = jax.jit(
+        gaussian_map.build_map, static_argnames=("capacity", "min_points_per_voxel")
+    )(pts, mask, origin, RESOLUTION, capacity=MAP_CAPACITY)
+    regmap = build_regmap(gmap, grid_shape=(192, 192, 48))
+    rng = np.random.default_rng(7)
+    # keep ~60% of the world (a half-plane cut with jitter), replace the rest
+    # with clutter the map has never seen (0-80 m box the map partly covers,
+    # plus 20% fully outside the mapped extent)
+    keep = world[:, 0] + rng.normal(0, 8.0, world.shape[0]) < 48.0
+    n_keep = int(keep.sum())
+    src = np.empty_like(world)
+    src[:n_keep] = world[keep] + rng.normal(0, 0.01, (n_keep, 3)).astype(np.float32)
+    n_new = world.shape[0] - n_keep
+    clutter = np.stack(
+        [rng.uniform(60, 110, n_new), rng.uniform(0, 80, n_new),
+         rng.uniform(0, 6, n_new)], -1
+    ).astype(np.float32)
+    src[n_keep:] = clutter
+    true_xi = jnp.asarray([0.004, -0.006, 0.02, 0.6, -0.4, 0.08], jnp.float32)
+    gt = se3.expmap(true_xi)
+    src_body = se3.transform_points(se3.inverse(gt), jnp.asarray(src))
+    cfg = NewtonConfig(resolution=RESOLUTION, max_iterations=MAX_ITERS, trans_eps=1e-4)
+    align = jax.jit(
+        newton_align_fused, static_argnames=("cfg", "grid_shape", "inner_iters")
+    )
+    res = align(src_body, mask, regmap, se3.identity(dtype=jnp.float32), cfg,
+                (192, 192, 48), 10)
+    jax.block_until_ready(res.pose.trans)
+    err = np.asarray(se3.local(gt, res.pose))
+    te, re_ = float(np.linalg.norm(err[3:])), float(np.linalg.norm(err[:3]))
+    assert te < 0.05 and re_ < 0.035, f"hard-overlap registration inaccurate: {err}"
+    n_rep = 20
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        res = align(src_body, mask, regmap, se3.identity(dtype=jnp.float32), cfg,
+                    (192, 192, 48), 10)
+    jax.block_until_ready(res.pose.trans)
+    dt = (time.perf_counter() - t0) / n_rep
+    print(
+        json.dumps(
+            {
+                "metric": "scan-to-map NDT, ~60% overlap + out-of-map clutter (128k pts)",
+                "value": round(1.0 / dt, 2),
+                "unit": "registrations/s",
+                "vs_baseline": round(1.0 / dt / BASELINE_REG_PER_S, 2),
+                "detail": {
+                    "overlap_frac": round(n_keep / world.shape[0], 3),
+                    "trans_err_m": round(te, 5),
+                    "rot_err_rad": round(re_, 5),
+                    "iters": int(res.iterations),
+                },
+            }
+        )
+    )
+
+
 def bench_map(capacity: int = 1 << 17, grid_shape=(256, 256, 64)):
     """Map-construction phase breakdown at the Berlin operating point
     (128k pts/scan, 2^17 voxel capacity): stats accumulate, finalize
@@ -539,5 +674,9 @@ if __name__ == "__main__":
         bench_svn()
     elif mode == "map":
         bench_map()
+    elif mode == "batch":
+        bench_batch()
+    elif mode == "hard":
+        bench_hard_overlap()
     else:
         main()

@@ -1,6 +1,11 @@
 from .constants import gauss_constants
 from .gicp import gicp_align, gicp_map, score_grad_hess_gicp
-from .pallas_math import gicp_align_fused, newton_align_fused, score_grad_hess_fused
+from .pallas_math import (
+    gicp_align_fused,
+    newton_align_fused,
+    newton_align_fused_batch,
+    score_grad_hess_fused,
+)
 from .newton import NewtonConfig, NewtonResult, newton_align, newton_align_reg
 from .objective import NdtObjective, full_hessian, score_grad_hess, score_only
 from .regmap import RegMap, build_regmap, score_grad_hess_reg
@@ -27,6 +32,7 @@ __all__ = [
     "gicp_align",
     "score_grad_hess_gicp",
     "newton_align_fused",
+    "newton_align_fused_batch",
     "gicp_align_fused",
     "score_grad_hess_fused",
 ]

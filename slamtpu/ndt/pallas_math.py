@@ -326,7 +326,7 @@ def newton_align_fused(
         return (it < n_outer) & (~converged)
 
     def body(state):
-        pose, it, _conv, _score, _hess, _nc = state
+        pose, it, conv, score, hess, nc = state
         megaT = gather_megaT(points, mask, pose, regmap, grid_shape)
 
         def inner(_, carry):
@@ -338,7 +338,13 @@ def newton_align_fused(
             0, inner_iters - 1, inner, (pose0, norm0, obj0)
         ) if inner_iters > 1 else (pose0, norm0, obj0)
         converged = norm_f < cfg.trans_eps
-        return (pose_f, it + 1, converged, obj_f.score, obj_f.hess, obj_f.n_contrib)
+        # freeze once converged: under vmap (newton_align_fused_batch) the
+        # lockstep while keeps executing body for finished lanes — their
+        # state must not move, or batched results diverge from unbatched
+        out = (pose_f, it + 1, conv | converged, obj_f.score, obj_f.hess,
+               obj_f.n_contrib)
+        old = (pose, it, conv, score, hess, nc)
+        return jax.tree.map(lambda n, o: jnp.where(conv, o, n), out, old)
 
     init_state = (
         se3.cast(init_pose, dtype),
@@ -350,3 +356,28 @@ def newton_align_fused(
     )
     pose, outers, converged, score, hess, nc = jax.lax.while_loop(cond, body, init_state)
     return NewtonResult(pose, hess, score, outers * inner_iters, converged, nc)
+
+
+def newton_align_fused_batch(
+    points: jax.Array,  # (B, N, 3) scans sharing one map
+    mask: jax.Array,  # (B, N)
+    regmap: RegMap,
+    init_pose: Pose3,  # (B,)-batched Pose3
+    cfg,  # NewtonConfig
+    grid_shape: tuple,
+    inner_iters: int = 1,
+    interpret: bool = None,
+) -> "NewtonResult":
+    """Register B scans against ONE shared map in a single dispatch.
+
+    Fills the chip when one scan's registration is gather-bound: the vmap
+    batches the Pallas kernel over a leading grid axis and the per-scan
+    6-dof Newton solves stay independent (the lockstep while_loop runs until
+    every scan converges — iterations report the max). Throughput lever for
+    the BASELINE reg/s target; per-scan accuracy equals the unbatched path.
+    """
+    return jax.vmap(
+        lambda p, m, ip: newton_align_fused(
+            p, m, regmap, ip, cfg, grid_shape, inner_iters, interpret=interpret
+        )
+    )(points, mask, init_pose)

@@ -270,6 +270,55 @@ class TestFusedKernel:
             assert np.linalg.norm(err[3:]) < 0.06, (inner, err)
             assert np.linalg.norm(err[:3]) < 0.035, (inner, err)
 
+    def test_fused_batch_matches_unbatched(self, setup):
+        """B scans against one shared map in one dispatch: per-scan results
+        equal the unbatched path (the throughput mode must not change any
+        registration's answer)."""
+        from slamtpu.ndt import NewtonConfig, newton_align_fused
+        from slamtpu.ndt.pallas_math import BLOCK, newton_align_fused_batch
+
+        _, regmap, source, gt = setup
+        n = len(source)
+        n_pad = -(-n // BLOCK) * BLOCK
+        regmap32 = jax.tree.map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, regmap
+        )
+        cfg = NewtonConfig(resolution=RES, max_iterations=12, trans_eps=5e-3)
+        B = 3
+        rng = np.random.default_rng(11)
+        pts_b = np.zeros((B, n_pad, 3), np.float32)
+        mask_b = np.zeros((B, n_pad), bool)
+        inits = []
+        for b in range(B):
+            pts_b[b, :n] = source + rng.normal(0, 0.005, (n, 3))
+            mask_b[b, :n] = True
+            inits.append(
+                se3.cast(
+                    se3.retract(
+                        gt, jnp.asarray([0.02, -0.03, 0.05, 0.2, -0.15, 0.1]) * (b + 1) / B
+                    ),
+                    jnp.float32,
+                )
+            )
+        init_b = jax.tree.map(lambda *a: jnp.stack(a), *inits)
+        batch = newton_align_fused_batch(
+            jnp.asarray(pts_b), jnp.asarray(mask_b), regmap32, init_b, cfg,
+            GRID, inner_iters=2,
+        )
+        for b in range(B):
+            single = newton_align_fused(
+                jnp.asarray(pts_b[b]), jnp.asarray(mask_b[b]), regmap32,
+                jax.tree.map(lambda a: a[b], init_b), cfg, GRID, inner_iters=2,
+            )
+            np.testing.assert_allclose(
+                np.asarray(jax.tree.map(lambda a: a[b], batch.pose).trans),
+                np.asarray(single.pose.trans), atol=5e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(jax.tree.map(lambda a: a[b], batch.pose).rot),
+                np.asarray(single.pose.rot), atol=5e-4,
+            )
+
 
 class TestFusedGicp:
     def test_fused_gicp_matches_xla_gicp(self, setup):
