@@ -261,6 +261,79 @@ def bench_lo100(n_sweeps: int = 100):
     )
 
 
+def bench_lo_berlin(n_sweeps: int = 30, rebuild_every: int = 4):
+    """Config 2 at the REAL Berlin operating point: OS-2-128-shaped sensor
+    (2048 x 128, stride 4 -> ~65k pts/scan after decode, 10 Hz), full lo_svn
+    replay at 2^17 map capacity. Reports steady-state keyframes/s (>=10 is
+    real-time) and ATE; runs the per-keyframe-rebuild parity config and the
+    reduced-cadence config side by side."""
+    import tempfile, os
+    import importlib
+
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    simulator = importlib.import_module("simulator")
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from slamtpu.apps import LoSvnApp
+    from slamtpu.apps.common import ate_rmse
+    from slamtpu.core import se3
+    from slamtpu.core.se3 import Pose3
+    from slamtpu.lidar.ouster import LidarParams
+    from slamtpu.runtime.config import PipelineConfig, RegisterConfig
+
+    meta = simulator.small_meta(cols=2048, pix=128, cpp=16)
+    cfg = PipelineConfig(
+        meta=meta,
+        lidar=LidarParams(channel_stride=4, range_filter=(0.5, 150.0)),
+        imu=__import__("slamtpu.ins.imu_config", fromlist=["ImuConfig"]).ImuConfig(),
+        register=RegisterConfig(
+            svn_resolution=1.0, svn_particles=20, svn_max_iterations=30,
+            svn_kernel_h=5.0, svn_step_size=1.0,
+            map_capacity=1 << 17,
+            min_points_per_voxel=4, keyframe_window=5,
+            reg_grid_shape=(256, 256, 32),
+            map_rebuild_every=rebuild_every,
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(), "berlin.rpl")
+    gt = simulator.simulate_replay(path, meta, cfg.lidar, n_sweeps=n_sweeps)
+    app = LoSvnApp(cfg)
+    traj, dt, warm_kf_s = _timed_replay(app, path)
+    gt_poses = [Pose3(jnp.asarray(R), jnp.asarray(p)) for R, p in gt[1:]]
+    a0, g0 = traj[0].pose, gt_poses[0]
+    ate = ate_rmse(
+        [se3.between(a0, e.pose) for e in traj],
+        [se3.between(g0, g) for g in gt_poses[: len(traj)]],
+    )
+    # parity config (rebuild every keyframe) for the honest comparison
+    cfg1 = _dc.replace(cfg, register=_dc.replace(cfg.register, map_rebuild_every=1))
+    app1 = LoSvnApp(cfg1)
+    traj1, dt1, warm1 = _timed_replay(app1, path)
+    ate1 = ate_rmse(
+        [se3.between(traj1[0].pose, e.pose) for e in traj1],
+        [se3.between(g0, g) for g in gt_poses[: len(traj1)]],
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"SVN-NDT LO at Berlin scale (2048x128 stride 4, {n_sweeps} sweeps, 2^17 capacity)",
+                "value": round(warm_kf_s or len(traj) / dt, 2),
+                "unit": "keyframes/s (steady-state)",
+                "vs_baseline": round((warm_kf_s or len(traj) / dt) / 10.0, 2),
+                "detail": {
+                    "rebuild_every": rebuild_every,
+                    "ate_rmse_m": round(ate, 4),
+                    "stage_ms": app.timer.summary(),
+                    "parity_rebuild1_kf_s": round(warm1 or len(traj1) / dt1, 2),
+                    "parity_rebuild1_ate_m": round(ate1, 4),
+                },
+            }
+        )
+    )
+
+
 def _app_bench(app_name: str, n_sweeps: int = 50):
     """Configs 3/4: full tightly-coupled (ligo_tc) or INS-mapping (ins_map)
     app over a replayed sequence."""
@@ -676,6 +749,8 @@ if __name__ == "__main__":
         bench_map()
     elif mode == "batch":
         bench_batch()
+    elif mode == "lo_berlin":
+        bench_lo_berlin()
     elif mode == "hard":
         bench_hard_overlap()
     else:

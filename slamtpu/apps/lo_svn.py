@@ -44,9 +44,10 @@ def _lo_svn_step(
     kf_mask,  # (K, N) (donated)
     new_points,  # (N, 3) body frame
     new_mask,  # (N,)
-    flat,  # (15,): [prior pose(12), origin(3)]
+    flat,  # (16,): [prior pose(12), origin(3), rebuild flag(1)]
     head,  # () int32 ring-buffer slot to overwrite
     key,  # PRNG key (device-resident)
+    regmap_in,  # RegMap from the previous rebuild (regmap path only)
     svn_cfg: SvnConfig,
     capacity: int,
     min_points: int,
@@ -57,27 +58,52 @@ def _lo_svn_step(
     SVN flow, ring-buffer insert of the new cloud at the published pose, and
     PRNG split — all in one dispatch. The scalar results return as ONE (51,)
     vector [pose(12), cov(36), iterations, converged, n_voxels]; per-array
-    transfers cost ~6 ms each through the TPU tunnel."""
+    transfers cost ~6 ms each through the TPU tunnel.
+
+    The map+RegMap rebuild (the dominant keyframe cost, ~66 ms at Berlin
+    scale) only runs when the rebuild flag is set; in between, registration
+    targets the cached RegMap — up to ``map_rebuild_every - 1`` keyframes
+    stale, which steady-state odometry tolerates (the window content changes
+    by one scan per keyframe). rebuild_every=1 reproduces the reference's
+    per-keyframe setInputTarget semantics (run/pipeline_lo_svn.cpp:376-387)."""
     f32 = jnp.float32
     prior = Pose3(flat[0:9].reshape(3, 3).astype(f32), flat[9:12].astype(f32))
     origin = flat[12:15].astype(f32)
+    rebuild = flat[15] > 0.5
     key, sub = jax.random.split(key)
     K, N, _ = kf_points.shape
-    gmap = gaussian_map.build_map(
-        kf_points.reshape(K * N, 3),
-        kf_mask.reshape(K * N),
-        origin,
-        svn_cfg.resolution,
-        capacity=capacity,
-        min_points_per_voxel=min_points,
-    )
     if grid_shape is None:
+        gmap = gaussian_map.build_map(
+            kf_points.reshape(K * N, 3),
+            kf_mask.reshape(K * N),
+            origin,
+            svn_cfg.resolution,
+            capacity=capacity,
+            min_points_per_voxel=min_points,
+        )
         res = svn_align(new_points, new_mask, gmap, prior, sub, svn_cfg)
+        regmap = regmap_in
+        n_voxels = gmap.num_valid()
     else:
         from ..ndt import build_regmap, svn_align_reg
 
-        regmap = build_regmap(gmap, grid_shape=grid_shape)
+        def do_build(_):
+            gmap = gaussian_map.build_map(
+                kf_points.reshape(K * N, 3),
+                kf_mask.reshape(K * N),
+                origin,
+                svn_cfg.resolution,
+                capacity=capacity,
+                min_points_per_voxel=min_points,
+            )
+            rm = build_regmap(gmap, grid_shape=grid_shape)
+            # match the cache's dtypes exactly (x64 test mode widens some
+            # scalars) — cond branches must agree
+            return jax.tree.map(lambda a, e: a.astype(e.dtype), rm, regmap_in)
+
+        regmap = jax.lax.cond(rebuild, do_build, lambda _: regmap_in, None)
         res = svn_align_reg(new_points, new_mask, regmap, prior, sub, svn_cfg, grid_shape)
+        n_voxels = regmap.num_valid
     published = res.pose if publish_svn else prior
     world_pts = se3.transform_points(published, new_points)
     kf_points = kf_points.at[head].set(world_pts)
@@ -91,12 +117,12 @@ def _lo_svn_step(
                 [
                     res.iterations.astype(f32),
                     res.converged.astype(f32),
-                    gmap.num_valid().astype(f32),
+                    n_voxels.astype(f32),
                 ]
             ),
         ]
     )
-    return kf_points, kf_mask, key, scalars
+    return kf_points, kf_mask, key, scalars, regmap
 
 
 @dataclasses.dataclass
@@ -127,6 +153,8 @@ class LoSvnApp:
         self._kf_head = 0
         self._origin = None
         self._key = jax.random.PRNGKey(self.seed)
+        self._regmap = None  # cached registration map (reduced-cadence rebuild)
+        self._kf_idx = 0  # keyframes processed through _lo_svn_step
 
     def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
         for synced in self.ingest.synced_frames(replay_path):
@@ -166,29 +194,42 @@ class LoSvnApp:
         )
         if shifted:
             log.info("map origin recentered at keyframe %d", synced.scan.frame_id)
+        reg = self.cfg.register
+        use_regmap = reg.use_regmap
+        grid_shape = tuple(reg.reg_grid_shape) if use_regmap else None
+        if self._regmap is None and use_regmap:
+            from ..ndt.regmap import empty_regmap
+
+            self._regmap = empty_regmap(reg.map_capacity, grid_shape)
+        # rebuild the registration target every map_rebuild_every keyframes
+        # (a recentered origin invalidates the cache unconditionally)
+        rebuild = shifted or (self._kf_idx % max(int(reg.map_rebuild_every), 1) == 0)
+        self._kf_idx += 1
         flat = np.concatenate(
             [
                 np.asarray(ins_pose.rot, np.float64).ravel(),
                 np.asarray(ins_pose.trans, np.float64),
                 np.asarray(self._origin, np.float64),
+                [1.0 if rebuild else 0.0],
             ]
         ).astype(np.float32)
         with self.timer.span("svn_step"):
-            self._kf_points, self._kf_mask, self._key, scalars = _lo_svn_step(
-                self._kf_points,
-                self._kf_mask,
-                scan.points,
-                scan.mask,
-                flat,
-                jnp.int32(self._kf_head),
-                self._key,
-                self.svn_cfg,
-                self.cfg.register.map_capacity,
-                self.cfg.register.min_points_per_voxel,
-                tuple(self.cfg.register.reg_grid_shape)
-                if self.cfg.register.use_regmap
-                else None,
-                self.publish == "svn",
+            self._kf_points, self._kf_mask, self._key, scalars, self._regmap = (
+                _lo_svn_step(
+                    self._kf_points,
+                    self._kf_mask,
+                    scan.points,
+                    scan.mask,
+                    flat,
+                    jnp.int32(self._kf_head),
+                    self._key,
+                    self._regmap,
+                    self.svn_cfg,
+                    reg.map_capacity,
+                    reg.min_points_per_voxel,
+                    grid_shape,
+                    self.publish == "svn",
+                )
             )
             scalars = np.asarray(scalars, np.float64)
         self._kf_head = (self._kf_head + 1) % int(self.cfg.register.keyframe_window)

@@ -92,7 +92,15 @@ def optimize(
         body, (state, err0, jnp.asarray(0, jnp.int32)), None, length=cfg.iterations
     )
     r, J = _linearize(final_state, factors)
-    H = J.T @ J + jnp.diag(pin)
+    # Pin every UNOBSERVED dof explicitly (zero Jacobian column), not just
+    # inactive states: a pose-only window (odom_ndt) leaves active states'
+    # vel/bias blocks exactly singular, and marginal_covariance's tiny
+    # jitter inversion only worked because the zero cross-blocks kept the
+    # pose block clean — one future factor touching vel would break it
+    # silently. A unit pin gives unobserved dofs a finite O(1) marginal
+    # variance and leaves observed blocks untouched.
+    unobserved = ~jnp.any(jnp.abs(J) > 0.0, axis=0)
+    H = J.T @ J + jnp.diag(jnp.maximum(pin, unobserved.astype(dtype)))
     return SmootherResult(final_state, H, 0.5 * jnp.sum(r**2), iters)
 
 

@@ -175,6 +175,28 @@ def build_regmap(
     )
 
 
+def empty_regmap(
+    capacity: int,
+    grid_shape: tuple,
+    dtype=jnp.float32,
+    dilated_capacity: int | None = None,
+) -> RegMap:
+    """An all-empty RegMap with the same shapes build_regmap would produce —
+    the initial cache value for apps that rebuild at reduced cadence."""
+    D = dilated_capacity or 4 * capacity
+    gx, gy, gz = grid_shape
+    n_cells = gx * gy * gz
+    return RegMap(
+        packed=jnp.zeros((D + 1, 96), dtype),
+        grid=jnp.full((n_cells + 1,), D, jnp.int32),
+        bbox_min=jnp.zeros((3,), jnp.int32),
+        origin=jnp.zeros((3,), dtype),
+        resolution=jnp.asarray(1.0, dtype),
+        num_valid=jnp.asarray(0, jnp.int32),
+        overflow=jnp.asarray(0, jnp.int32),
+    )
+
+
 def gather_pair_data(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
     """The per-point voxel gather: (mu (N,7,3), icov (N,7,3,3), active (N,7)).
 

@@ -53,6 +53,7 @@ _EXTENSION_KEYS = {
     "keyframe_window",
     "use_regmap",
     "reg_grid_shape",
+    "map_rebuild_every",
 }
 
 
@@ -87,6 +88,10 @@ class RegisterConfig:
     keyframe_window: int = 5  # target window of keyframes (lo_svn :328)
     use_regmap: bool = True  # search-free registration layout (ndt.regmap)
     reg_grid_shape: tuple = (256, 256, 64)  # dense-grid extent in voxels
+    # rebuild the registration map every N keyframes (1 = the reference's
+    # per-keyframe setInputTarget; higher trades <=N-1 keyframes of target
+    # staleness for amortizing the ~66 ms Berlin-scale map+RegMap build)
+    map_rebuild_every: int = 1
 
     @classmethod
     def from_json(cls, obj: dict) -> "RegisterConfig":
@@ -152,6 +157,9 @@ class RegisterConfig:
             keyframe_window=int(p.get("keyframe_window", defaults.keyframe_window)),
             use_regmap=bool(p.get("use_regmap", defaults.use_regmap)),
             reg_grid_shape=tuple(p.get("reg_grid_shape", defaults.reg_grid_shape)),
+            map_rebuild_every=int(
+                p.get("map_rebuild_every", defaults.map_rebuild_every)
+            ),
         )
 
 

@@ -83,6 +83,17 @@ class TestLoSvn:
         errs = traj_errors(traj, gt)
         assert errs.max() < 0.3, errs
         assert_stats_filled(app)
+        # reduced-cadence map rebuild: <=2-keyframe target staleness must
+        # not break odometry at this motion scale
+        import dataclasses as _dc
+
+        cfg3 = _dc.replace(
+            cfg, register=_dc.replace(cfg.register, map_rebuild_every=3)
+        )
+        app3 = LoSvnApp(cfg3)
+        traj3 = app3.run_replay(path)
+        errs3 = traj_errors(traj3, gt)
+        assert errs3.max() < 0.35, errs3
         # INS-publish parity mode matches the INS poses exactly
         app2 = LoSvnApp(cfg, publish="ins")
         traj2 = app2.run_replay(path)
