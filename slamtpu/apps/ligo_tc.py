@@ -63,7 +63,9 @@ def _ligo_step(
     new_points,  # (N, 3) body frame
     new_mask,
     imu,  # (IMU_WINDOW_CAPACITY, 7): [accel(3), gyro(3), dt]
-    flat,  # (27,): [prev_opt_pose(12), vel(3), bias(6), gravity(3), origin(3)]
+    flat,  # (28,): [prev_opt_pose(12), vel(3), bias(6), gravity(3), origin(3),
+    #               rebuild flag(1)]
+    regmap_in,  # RegMap cache (None when use_regmap is off)
     noise: ImuNoise,
     cfg: NewtonConfig,
     capacity: int,
@@ -86,6 +88,7 @@ def _ligo_step(
     bias = ImuBias(flat[15:18], flat[18:21])
     gravity = flat[21:24]
     origin = flat[24:27].astype(f32)
+    rebuild = flat[27] > 0.5
     pim = integrate(imu[:, 0:3], imu[:, 3:6], imu[:, 6], bias, noise)
     predicted = predict(NavState(prev_pose, vel), bias, pim, gravity)
     K, N, _ = kf_points.shape
@@ -94,15 +97,18 @@ def _ligo_step(
     )
     world = jax.vmap(se3.transform_points)(wposes, kf_points)
     pred32 = se3.cast(predicted.pose, f32)
-    res = _register_step(
+    out = _register_step(
         world.reshape(K * N, 3),
         kf_mask.reshape(K * N), new_points, new_mask,
         pred32, origin,
         cfg, capacity, min_points, grid_shape,
         reg_pose=pred32,
+        regmap_cache=regmap_in if grid_shape is not None else None,
+        rebuild=rebuild,
     )
+    res, regmap = out if grid_shape is not None else (out, regmap_in)
     dt = flat.dtype
-    return jnp.concatenate(
+    return regmap, jnp.concatenate(
         [
             pim.dR.ravel(), pim.dv, pim.dp, jnp.reshape(pim.dt, (1,)),
             pim.dR_dbg.ravel(), pim.dv_dba.ravel(), pim.dv_dbg.ravel(),
@@ -150,6 +156,8 @@ class LigoTcApp:
         self._kf_masks = None  # (K, N)
         self._kf_slots: List[Optional[dict]] = []
         self._kf_head = 0
+        self._regmap = None  # cached registration map (reduced-cadence rebuild)
+        self._kf_idx = 0
         self._trust = robust.trust_gain_init_np()
         self._win: List[dict] = []  # per-state dicts (numpy): pose, vel, bias, ins, pim
         self._fuse_step = PackedStep(self._fuse_device)
@@ -263,10 +271,19 @@ class LigoTcApp:
             return
 
         prev = self._win[-1]
-        self._origin, _shifted = gaussian_map.recenter_origin(
+        self._origin, shifted = gaussian_map.recenter_origin(
             self._origin, ins_np[1], self.newton_cfg.resolution
         )
         imu = self._imu_window(synced)
+        reg = self.cfg.register
+        use_regmap = reg.use_regmap
+        grid_shape = tuple(reg.reg_grid_shape) if use_regmap else None
+        if self._regmap is None and use_regmap:
+            from ..ndt.regmap import empty_regmap
+
+            self._regmap = empty_regmap(reg.map_capacity, grid_shape)
+        rebuild = shifted or (self._kf_idx % max(int(reg.map_rebuild_every), 1) == 0)
+        self._kf_idx += 1
         flat = np.concatenate(
             [
                 np.asarray(prev["pose"][0], np.float64).ravel(),
@@ -275,23 +292,20 @@ class LigoTcApp:
                 np.asarray(prev["bias"], np.float64),
                 self._gravity,
                 np.asarray(self._origin, np.float64),
+                [1.0 if rebuild else 0.0],
             ]
         )
         with self.timer.span("ndt"):
-            out = np.asarray(
-                _ligo_step(
-                    self._kf_clouds, self._kf_masks, self._window_poses(),
-                    scan.points, scan.mask,
-                    imu, flat, self.noise,
-                    self.newton_cfg,
-                    self.cfg.register.map_capacity,
-                    self.cfg.register.min_points_per_voxel,
-                    tuple(self.cfg.register.reg_grid_shape)
-                    if self.cfg.register.use_regmap
-                    else None,
-                ),
-                np.float64,
+            self._regmap, out = _ligo_step(
+                self._kf_clouds, self._kf_masks, self._window_poses(),
+                scan.points, scan.mask,
+                imu, flat, self._regmap, self.noise,
+                self.newton_cfg,
+                reg.map_capacity,
+                reg.min_points_per_voxel,
+                grid_shape,
             )
+            out = np.asarray(out, np.float64)
         pim_np = dict(
             dR=out[0:9].reshape(3, 3), dv=out[9:12], dp=out[12:15],
             dt=float(out[15]), dR_dbg=out[16:25].reshape(3, 3),

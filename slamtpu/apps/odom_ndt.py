@@ -73,12 +73,19 @@ def _register_step(
     method: str = "NDT_OMP",
     svn_cfg=None,  # ndt.SvnConfig, required for method == "SVNNDT"
     key=None,  # PRNG key, required for method == "SVNNDT"
+    regmap_cache=None,  # RegMap: enables reduced-cadence rebuild (NDT_OMP only)
+    rebuild=None,  # () bool: rebuild the map this call (with regmap_cache)
 ):
     """Build the target map and register by the configured engine — the
     analog of the reference's registration_method switch
     (/root/reference/run/pipeline.cpp:464-481, src/registercallback.cpp:41-61):
     NDT_OMP -> Newton P2D-NDT, SVNNDT -> SVN particle flow (posterior mean),
-    GICP -> voxelized GICP, NDT_OMP_MULTIRES -> coarse-to-fine pyramid."""
+    GICP -> voxelized GICP, NDT_OMP_MULTIRES -> coarse-to-fine pyramid.
+
+    With ``regmap_cache``/``rebuild`` (NDT_OMP + grid_shape only) the
+    map+RegMap build — the dominant keyframe cost — runs under ``lax.cond``
+    and the call returns ``(result, regmap)`` so the caller can carry the
+    cache forward (cf. RegisterConfig.map_rebuild_every)."""
     if method == "NDT_OMP_MULTIRES":
         from ..ndt.multires import build_pyramid, multires_align
 
@@ -92,11 +99,14 @@ def _register_step(
         )
         return multires_align(new_points, new_mask, levels, init_guess)
 
-    gmap = gaussian_map.build_map(
-        target_points, target_mask, origin, cfg.resolution,
-        capacity=capacity, min_points_per_voxel=min_points,
-    )
+    def build_gmap():
+        return gaussian_map.build_map(
+            target_points, target_mask, origin, cfg.resolution,
+            capacity=capacity, min_points_per_voxel=min_points,
+        )
+
     if method == "GICP":
+        gmap = build_gmap()
         from ..ndt import build_regmap, gicp_align, gicp_align_fused, gicp_map
 
         regmap = build_regmap(gicp_map(gmap), grid_shape=grid_shape or (256, 256, 64))
@@ -111,6 +121,7 @@ def _register_step(
     if method == "SVNNDT":
         from ..ndt import NewtonResult, build_regmap, svn_align, svn_align_reg
 
+        gmap = build_gmap()
         if grid_shape is None:
             res = svn_align(new_points, new_mask, gmap, init_guess, key, svn_cfg)
         else:
@@ -133,19 +144,32 @@ def _register_step(
         )
 
     if grid_shape is None:
-        return newton_align(new_points, new_mask, gmap, init_guess, cfg, reg_pose=reg_pose)
+        return newton_align(
+            new_points, new_mask, build_gmap(), init_guess, cfg, reg_pose=reg_pose
+        )
     from ..ndt import build_regmap, newton_align_reg
     from ..ndt.pallas_math import newton_align_fused
 
-    regmap = build_regmap(gmap, grid_shape=grid_shape)
+    if regmap_cache is None:
+        regmap = build_regmap(build_gmap(), grid_shape=grid_shape)
+    else:
+        # the whole map+RegMap build traces inside the cond branch: it only
+        # EXECUTES on rebuild keyframes
+        def do_build(_):
+            rm = build_regmap(build_gmap(), grid_shape=grid_shape)
+            return jax.tree.map(lambda a, e: a.astype(e.dtype), rm, regmap_cache)
+
+        regmap = jax.lax.cond(rebuild, do_build, lambda _: regmap_cache, None)
     if _use_fused(new_points):
-        return newton_align_fused(
+        res = newton_align_fused(
             new_points, new_mask, regmap, init_guess, cfg, grid_shape,
             inner_iters=4, reg_pose=reg_pose,
         )
-    return newton_align_reg(
-        new_points, new_mask, regmap, init_guess, cfg, grid_shape, reg_pose=reg_pose
-    )
+    else:
+        res = newton_align_reg(
+            new_points, new_mask, regmap, init_guess, cfg, grid_shape, reg_pose=reg_pose
+        )
+    return res if regmap_cache is None else (res, regmap)
 
 
 @partial(

@@ -178,6 +178,18 @@ class TestLigoTc:
         assert errs.max() < 0.5, errs
         assert_stats_filled(app)
 
+    def test_reduced_cadence_rebuild(self, replay):
+        import dataclasses as _dc
+
+        path, gt, cfg = replay
+        cfg3 = _dc.replace(
+            cfg, register=_dc.replace(cfg.register, map_rebuild_every=3)
+        )
+        app = LigoTcApp(cfg3, window=4)
+        traj = app.run_replay(path)
+        errs = traj_errors(traj, gt)
+        assert errs.max() < 0.6, errs
+
 
 class TestInsMap:
     def test_accumulates_and_exports(self, replay, tmp_path):
