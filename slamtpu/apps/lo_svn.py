@@ -44,7 +44,7 @@ def _lo_svn_step(
     kf_mask,  # (K, N) (donated)
     new_points,  # (N, 3) body frame
     new_mask,  # (N,)
-    flat,  # (16,): [prior pose(12), origin(3), rebuild flag(1)]
+    flat,  # (17,): [prior pose(12), origin(3), rebuild flag(1), ins-anchor flag(1)]
     head,  # () int32 ring-buffer slot to overwrite
     key,  # PRNG key (device-resident)
     regmap_in,  # RegMap from the previous rebuild (regmap path only)
@@ -55,7 +55,7 @@ def _lo_svn_step(
     publish_svn: bool = True,
 ):
     """One fused SVN keyframe: map build over the keyframe window, K-particle
-    SVN flow, ring-buffer insert of the new cloud at the published pose, and
+    SVN flow, ring-buffer insert of the new cloud at the anchor pose, and
     PRNG split — all in one dispatch. The scalar results return as ONE (51,)
     vector [pose(12), cov(36), iterations, converged, n_voxels]; per-array
     transfers cost ~6 ms each through the TPU tunnel.
@@ -105,7 +105,14 @@ def _lo_svn_step(
         res = svn_align_reg(new_points, new_mask, regmap, prior, sub, svn_cfg, grid_shape)
         n_voxels = regmap.num_valid
     published = res.pose if publish_svn else prior
-    world_pts = se3.transform_points(published, new_points)
+    # ring insert at the ANCHOR pose: flat[16] selects the INS prior (the
+    # reference's target clouds sit at INS-derived poses,
+    # run/pipeline_lo_svn.cpp:376-390 — keeps SVN per-keyframe errors from
+    # compounding through the map) or the published odometry pose
+    anchor = jax.tree.map(
+        lambda a, b: jnp.where(flat[16] > 0.5, a, b), prior, published
+    )
+    world_pts = se3.transform_points(anchor, new_points)
     kf_points = kf_points.at[head].set(world_pts)
     kf_mask = kf_mask.at[head].set(new_mask)
     scalars = jnp.concatenate(
@@ -129,6 +136,10 @@ def _lo_svn_step(
 class LoSvnApp:
     cfg: PipelineConfig
     publish: str = "svn"  # "svn" | "ins" (reference parity: "ins")
+    anchor: str = "ins"  # "ins" | "odom": pose at which keyframe clouds enter
+    #   the target ring. "ins" matches the reference (clouds at INS-derived
+    #   poses, pipeline_lo_svn.cpp:376-390) and keeps per-keyframe SVN errors
+    #   from compounding through the map; "odom" is pure LO (drifts)
     seed: int = 1337
 
     def __post_init__(self):
@@ -211,6 +222,7 @@ class LoSvnApp:
                 np.asarray(ins_pose.trans, np.float64),
                 np.asarray(self._origin, np.float64),
                 [1.0 if rebuild else 0.0],
+                [1.0 if self.anchor == "ins" else 0.0],
             ]
         ).astype(np.float32)
         with self.timer.span("svn_step"):
