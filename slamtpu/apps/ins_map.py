@@ -60,6 +60,7 @@ class InsMapApp:
         self._ref_lla = None
         self._stats = None
         self.out_of_range_points = 0  # points beyond the packed-key extent
+        self._oor_pending: list = []  # device scalars awaiting a host sync
 
     def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
         for synced in self.ingest.synced_frames(replay_path):
@@ -87,20 +88,30 @@ class InsMapApp:
         self._stats, oor = _accumulate(
             self._stats, scan.points, scan.mask, pose, self.cfg.register.map_capacity
         )
-        oor = int(oor)
-        if oor:
-            if self.out_of_range_points == 0:
-                log.warning(
-                    "frame %d: %d points beyond the map key range (+-%d voxels "
-                    "from the first-pose origin) were dropped — the trajectory "
-                    "has outgrown the grid; start a new map segment (checkpoint "
-                    "+ fresh origin) to keep this content",
-                    synced.scan.frame_id, oor, 512,
-                )
-            self.out_of_range_points += oor
+        # defer the host sync: forcing int(oor) per frame would serialize the
+        # async dispatch pipeline; drain the counter every 16 keyframes
+        self._oor_pending.append(oor)
+        if len(self._oor_pending) >= 16:
+            self._drain_oor(synced.scan.frame_id)
         self.trajectory.append(
             TrajectoryEntry(synced.t_end, synced.scan.frame_id, pose, pose)
         )
+
+    def _drain_oor(self, frame_id=None):
+        if not self._oor_pending:
+            return
+        total = int(np.sum([np.asarray(o) for o in self._oor_pending]))
+        self._oor_pending.clear()
+        if total:
+            if self.out_of_range_points == 0:
+                log.warning(
+                    "frame %s: %d points beyond the map key range (+-512 voxels "
+                    "from the first-pose origin) were dropped — the trajectory "
+                    "has outgrown the grid; start a new map segment (checkpoint "
+                    "+ fresh origin) to keep this content",
+                    frame_id, total,
+                )
+            self.out_of_range_points += total
 
     def save_checkpoint(self, path: str):
         """Persist the mergeable map state + geodetic reference (the
@@ -119,6 +130,7 @@ class InsMapApp:
         return self
 
     def finalize_and_export(self, prefix: str, min_points_per_voxel: int = 6):
+        self._drain_oor()
         gmap = gaussian_map.finalize(self._stats, min_points_per_voxel)
         data = extract_ndt_data(gmap)
         write_ndt_data(data, prefix)
