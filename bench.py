@@ -186,8 +186,14 @@ def _timed_replay(app, path, warmup: int = 8):
     t_warm_start = None
     for i, s in enumerate(frames):
         if i == warmup:
+            # drain queued warmup work (compiles) so it cannot bleed into
+            # the steady-state window of async-dispatch apps
+            getattr(app, "flush", lambda: None)()
             t_warm_start = time.perf_counter()
         app.process(s)
+    # apps with deferred recording dispatch async; drain before stopping the
+    # clock or the rate reads as dispatch throughput, not work throughput
+    getattr(app, "flush", lambda: None)()
     t_end = time.perf_counter()
     warm = (
         (len(frames) - warmup) / (t_end - t_warm_start)

@@ -33,6 +33,16 @@ def main(argv=None):
     p.add_argument("--register", help="registration config JSON")
     p.add_argument("--max-keyframes", type=int, default=10**9)
     p.add_argument("--publish", default="svn", choices=["svn", "ins"], help="lo_svn only")
+    p.add_argument(
+        "--anchor", default="ins", choices=["ins", "odom"],
+        help="lo_svn only: pose at which keyframe clouds enter the target ring",
+    )
+    p.add_argument(
+        "--method",
+        choices=["NDT_OMP", "SVNNDT", "GICP", "NDT_OMP_MULTIRES"],
+        help="odom_ndt only: override the registration engine "
+        "(default: registration_method from --register)",
+    )
     p.add_argument("--loop-closure", action="store_true",
                    help="odom_ndt only: detect loop closures and run the pose-graph refinement")
     p.add_argument("--resume", help="ins_map only: resume from a map checkpoint (.npz)")
@@ -92,12 +102,12 @@ def main(argv=None):
         elif args.app == "lo_svn":
             from slamtpu.apps import LoSvnApp
 
-            app = LoSvnApp(cfg, publish=args.publish)
+            app = LoSvnApp(cfg, publish=args.publish, anchor=args.anchor)
             traj = app.run_replay(args.replay, args.max_keyframes)
         elif args.app == "odom_ndt":
             from slamtpu.apps import OdomNdtApp
 
-            app = OdomNdtApp(cfg, loop_closure=args.loop_closure)
+            app = OdomNdtApp(cfg, loop_closure=args.loop_closure, method=args.method)
             traj = app.run_replay(args.replay, args.max_keyframes)
             if args.loop_closure:
                 _, closures = app.refine_loop_closures()

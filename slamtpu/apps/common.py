@@ -20,7 +20,8 @@ from ..core.se3 import Pose3
 from ..ins import geodesy
 from ..ins.anpp import AnppDecoder, NavFrame
 from ..lidar.ouster import FrameAssembler, build_luts
-from ..lidar.project import ScanBuffer, filters_from_params, project_frame
+from ..lidar.project import (ScanBuffer, filters_from_params, pack_frame,
+    project_frame_packed)
 from ..runtime.config import PipelineConfig
 from ..runtime.replay import STREAM_COMPASS, STREAM_LIDAR, read_replay
 from ..runtime.sync import SyncedFrame, Synchronizer
@@ -105,7 +106,7 @@ class IngestPipeline:
         self.anpp = AnppDecoder()
         self.sync = Synchronizer(self.cfg.nav_window)
         self.filters = filters_from_params(self.cfg.lidar)
-        self._project = jax.jit(project_frame, static_argnames=("filters",))
+        self._project = jax.jit(project_frame_packed, static_argnames=("filters",))
         self._dir = jnp.asarray(self.luts.direction)
         self._off = jnp.asarray(self.luts.offset)
 
@@ -125,15 +126,10 @@ class IngestPipeline:
 
     def project(self, synced: SyncedFrame) -> ScanBuffer:
         fr = synced.scan
-        return self._project(
-            jnp.asarray(fr.ranges_m),
-            jnp.asarray(fr.reflectivity),
-            jnp.asarray(fr.col_timestamp_s.astype(np.float32)),
-            jnp.asarray(fr.col_valid),
-            self._dir,
-            self._off,
-            self.filters,
+        packed = pack_frame(
+            fr.ranges_m, fr.reflectivity, fr.col_timestamp_s, fr.col_valid
         )
+        return self._project(jnp.asarray(packed), self._dir, self._off, self.filters)
 
 
 def maybe_deskew(scan: ScanBuffer, synced: SyncedFrame, ref_lla, enabled: bool) -> ScanBuffer:

@@ -155,8 +155,13 @@ class LoSvnApp:
             stop_thresh=reg.svn_stop_thresh,
             use_direct1=reg.svn_search_method == "DIRECT1",
         )
-        self.trajectory: List[TrajectoryEntry] = []
-        self.stats = StatsArchive()
+        self._trajectory: List[TrajectoryEntry] = []
+        self._stats_archive = StatsArchive()
+        self._pending: List[tuple] = []  # keyframes whose device results are
+        #   still in flight: the per-keyframe host sync is deferred so the
+        #   next frame's decode overlaps the device step (the prior is the
+        #   INS pose — host data — so there is no true dependency)
+        self._n_keyframes = 0
         self.timer = StageTimer()
         self._ref_lla: Optional[np.ndarray] = None
         self._kf_points = None  # (K, N, 3) ring buffer
@@ -167,12 +172,35 @@ class LoSvnApp:
         self._regmap = None  # cached registration map (reduced-cadence rebuild)
         self._kf_idx = 0  # keyframes processed through _lo_svn_step
 
+    @property
+    def trajectory(self) -> List[TrajectoryEntry]:
+        self.flush()
+        return self._trajectory
+
+    @property
+    def stats(self) -> StatsArchive:
+        self.flush()
+        return self._stats_archive
+
     def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
         for synced in self.ingest.synced_frames(replay_path):
             self.process(synced)
-            if len(self.trajectory) >= max_keyframes:
+            if self._n_keyframes >= max_keyframes:
                 break
         return self.trajectory
+
+    def flush(self):
+        """Materialize in-flight keyframe results (one host sync for all)."""
+        pending, self._pending = self._pending, []
+        for synced, num_points, ins_pose, dt_ms, scalars in pending:
+            scalars = np.asarray(scalars, np.float64)
+            published = Pose3(scalars[0:9].reshape(3, 3), scalars[9:12])
+            cov = scalars[12:48].reshape(6, 6)
+            iters, converged, _n_voxels = scalars[48:51]
+            self._record(
+                synced, int(num_points), published, ins_pose, cov,
+                int(iters), bool(converged > 0.5), 0.0, dt_ms,
+            )
 
     def process(self, synced):
         with self.timer.span("project"):
@@ -198,7 +226,11 @@ class LoSvnApp:
             self._kf_points = self._kf_points.at[self._kf_head].set(world)
             self._kf_mask = self._kf_mask.at[self._kf_head].set(scan.mask)
             self._kf_head = (self._kf_head + 1) % self._kf_points.shape[0]
-            self._record(synced, scan, ins_pose, ins_pose, None, 0, True, 0.0)
+            self._n_keyframes += 1
+            self._record(
+                synced, int(scan.num_points), ins_pose, ins_pose, None, 0,
+                True, 0.0, 0.0,
+            )
             return
         self._origin, shifted = gaussian_map.recenter_origin(
             self._origin, np.asarray(ins_pose.trans), self.svn_cfg.resolution
@@ -243,24 +275,22 @@ class LoSvnApp:
                     self.publish == "svn",
                 )
             )
-            scalars = np.asarray(scalars, np.float64)
         self._kf_head = (self._kf_head + 1) % int(self.cfg.register.keyframe_window)
-        published = Pose3(scalars[0:9].reshape(3, 3), scalars[9:12])
-        cov = scalars[12:48].reshape(6, 6)
-        iters, converged, n_voxels = scalars[48:51]
-        self._record(
-            synced, scan, published, ins_pose, cov,
-            int(iters), bool(converged > 0.5), 0.0,
+        self._n_keyframes += 1
+        self._pending.append(
+            (synced, scan.num_points, ins_pose,
+             self.timer.last_ms("svn_step"), scalars)
         )
-        log.info(
-            "kf %d: iters=%d converged=%s voxels=%d",
-            synced.scan.frame_id, int(iters), converged > 0.5, int(n_voxels),
-        )
+        if len(self._pending) >= 64:  # bound the in-flight queue
+            self.flush()
 
-    def _record(self, synced, scan, pose, ins_pose, cov, iters, converged, score):
+    def _record(
+        self, synced, num_points, pose, ins_pose, cov, iters, converged,
+        score, dispatch_ms,
+    ):
         from .common import np_pose7
 
-        self.trajectory.append(
+        self._trajectory.append(
             TrajectoryEntry(
                 timestamp=synced.t_end,
                 frame_id=synced.scan.frame_id,
@@ -271,12 +301,14 @@ class LoSvnApp:
         )
         ins7 = np_pose7(np.asarray(ins_pose.rot), np.asarray(ins_pose.trans))
         opt7 = np_pose7(np.asarray(pose.rot), np.asarray(pose.trans))
-        self.stats.add(
+        self._stats_archive.add(
             KeyFrameStats(
                 frame_id=synced.scan.frame_id,
                 timestamp=synced.t_end,
-                num_points=int(scan.num_points),
-                align_time_ms=self.timer.last_ms("svn_step"),
+                num_points=num_points,
+                # dispatch wall time: the device step itself runs async and
+                # overlaps the next frame's decode (see flush())
+                align_time_ms=max(dispatch_ms, 1e-3),
                 ndt_iterations=iters,
                 converged=converged,
                 score=score,

@@ -90,6 +90,42 @@ def project_frame(
     )
 
 
+def pack_frame(ranges_m, reflectivity, col_timestamp_s, col_valid):
+    """Host side: one (cols, 2*sub + 2) float32 array carrying the whole
+    decoded frame — each host->device transfer through the tunnel costs
+    ~6 ms of latency, so the four per-frame inputs ship as ONE buffer.
+    Column timestamps are re-based to the first column in float64 before the
+    float32 cast (absolute day-seconds would quantize at ~10 us)."""
+    import numpy as np
+
+    cols, sub = ranges_m.shape
+    out = np.empty((cols, 2 * sub + 2), np.float32)
+    out[:, :sub] = ranges_m
+    out[:, sub : 2 * sub] = reflectivity
+    ts = np.asarray(col_timestamp_s, np.float64)
+    out[:, 2 * sub] = ts - ts[0]
+    out[:, 2 * sub + 1] = col_valid
+    return out
+
+
+def project_frame_packed(
+    packed: jax.Array,  # (cols, 2*sub + 2) from pack_frame
+    direction: jax.Array,  # (cols, sub, 3) float32
+    offset: jax.Array,  # (cols, 3) float32
+    filters: ProjectionFilters,
+) -> ScanBuffer:
+    """project_frame on a pack_frame buffer (numerically identical)."""
+    sub = direction.shape[1]
+    ranges_m = packed[:, :sub]
+    reflectivity = packed[:, sub : 2 * sub].astype(jnp.uint8)
+    col_timestamp_s = packed[:, 2 * sub]
+    col_valid = packed[:, 2 * sub + 1] > 0.5
+    return project_frame(
+        ranges_m, reflectivity, col_timestamp_s, col_valid,
+        direction, offset, filters,
+    )
+
+
 def filters_from_params(params) -> ProjectionFilters:
     """Build ProjectionFilters from a lidar.ouster.LidarParams."""
     import numpy as np
