@@ -343,6 +343,62 @@ def bench_lo_berlin(n_sweeps: int = 30, rebuild_every: int = 4):
     )
 
 
+def bench_odom_berlin(n_sweeps: int = 30):
+    """odom_ndt (the reference `pipeline`) at the Berlin operating point:
+    scan-to-previous-keyframe Newton NDT + window smoother on the
+    OS-2-128-shaped sensor."""
+    import tempfile, os
+    import importlib
+
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    simulator = importlib.import_module("simulator")
+    import jax.numpy as jnp
+
+    from slamtpu.apps import OdomNdtApp
+    from slamtpu.apps.common import ate_rmse
+    from slamtpu.core import se3
+    from slamtpu.core.se3 import Pose3
+    from slamtpu.lidar.ouster import LidarParams
+    from slamtpu.runtime.config import PipelineConfig, RegisterConfig
+
+    meta = simulator.small_meta(cols=2048, pix=128, cpp=16)
+    cfg = PipelineConfig(
+        meta=meta,
+        lidar=LidarParams(channel_stride=4, range_filter=(0.5, 150.0)),
+        imu=__import__("slamtpu.ins.imu_config", fromlist=["ImuConfig"]).ImuConfig(),
+        register=RegisterConfig(
+            ndt_resolution=1.0, ndt_max_iterations=25,
+            map_capacity=1 << 16,  # one 65k-pt scan per target
+            min_points_per_voxel=4,
+            reg_grid_shape=(256, 256, 32),
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(), "berlin_odom.rpl")
+    gt = simulator.simulate_replay(path, meta, cfg.lidar, n_sweeps=n_sweeps)
+    app = OdomNdtApp(cfg, window=6)
+    traj, dt, warm_kf_s = _timed_replay(app, path)
+    gt_poses = [Pose3(jnp.asarray(R), jnp.asarray(p)) for R, p in gt[1:]]
+    a0, g0 = traj[0].pose, gt_poses[0]
+    ate = ate_rmse(
+        [se3.between(a0, e.pose) for e in traj],
+        [se3.between(g0, g) for g in gt_poses[: len(traj)]],
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"Newton-NDT odometry at Berlin scale (2048x128 stride 4, {n_sweeps} sweeps)",
+                "value": round(warm_kf_s or len(traj) / dt, 2),
+                "unit": "keyframes/s (steady-state)",
+                "vs_baseline": round((warm_kf_s or len(traj) / dt) / 10.0, 2),
+                "detail": {
+                    "ate_rmse_m": round(ate, 4),
+                    "stage_ms": app.timer.summary(),
+                },
+            }
+        )
+    )
+
+
 def _app_bench(app_name: str, n_sweeps: int = 50):
     """Configs 3/4: full tightly-coupled (ligo_tc) or INS-mapping (ins_map)
     app over a replayed sequence."""
@@ -763,6 +819,8 @@ if __name__ == "__main__":
         bench_batch()
     elif mode == "lo_berlin":
         bench_lo_berlin()
+    elif mode == "odom_berlin":
+        bench_odom_berlin()
     elif mode == "hard":
         bench_hard_overlap()
     else:

@@ -20,7 +20,9 @@ log = logging.getLogger("slamtpu.native_build")
 BUILD_TIMEOUT_S = 120
 
 
-def build_from_source(src_path: str, stem: str) -> Optional[str]:
+def build_from_source(
+    src_path: str, stem: str, extra_flags: tuple = ()
+) -> Optional[str]:
     """Compile ``src_path`` to ``lib<stem>-<srchash>.so`` next to the source.
 
     Returns the shared-object path, or None if the toolchain is unavailable
@@ -41,6 +43,7 @@ def build_from_source(src_path: str, stem: str) -> Optional[str]:
     tmp_path = f"{so_path}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        *extra_flags,
         "-o", tmp_path, src_path,
     ]
     try:

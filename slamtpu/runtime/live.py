@@ -35,6 +35,9 @@ class LivePipeline:
         compass_udp: UdpConfig = UdpConfig(port=16718),
         record_path: Optional[str] = None,
         queue_capacity: int = 8,
+        io_backend: str = "asyncio",  # "asyncio" | "native" (C++ receiver
+        #   threads + batched ring drain, runtime.native_udp — the analog of
+        #   the reference's C++ UdpSocket for production ingest rates)
     ):
         self.cfg = cfg
         self.app = app
@@ -48,6 +51,7 @@ class LivePipeline:
         # bounded handoff to the device worker (the reference's FrameQueue
         # equivalent; bounded so a slow consumer drops frames instead of
         # growing without bound)
+        self.io_backend = io_backend
         self._q: queue.Queue = queue.Queue(maxsize=queue_capacity)
         self._stop = threading.Event()
         self.dropped_frames = 0
@@ -93,6 +97,9 @@ class LivePipeline:
 
     # --- lifecycle -------------------------------------------------------
     async def run(self, duration_s: Optional[float] = None):
+        if self.io_backend == "native":
+            await self._run_native(duration_s)
+            return
         worker = threading.Thread(target=self._worker, daemon=True)
         worker.start()
         lidar_t = await open_udp(
@@ -116,6 +123,66 @@ class LivePipeline:
         finally:
             lidar_t.close()
             comp_t.close()
+            self._stop.set()
+            worker.join(timeout=2.0)
+            if self.recorder is not None:
+                self.recorder.close()
+
+    async def _run_native(self, duration_s: Optional[float]):
+        """Native backend: C++ receiver threads (runtime.native_udp), the
+        reactor drains both rings in batches. Receive-timeout watchdogs use
+        the receivers' silent_ms, mirroring the asyncio backend."""
+        import time as _time
+
+        from .native_udp import NativeUdpReceiver
+
+        worker = threading.Thread(target=self._worker, daemon=True)
+        worker.start()
+        rx = []
+        for ucfg, cb, stream in (
+            (self.lidar_udp, self._on_lidar, STREAM_LIDAR),
+            (self.compass_udp, self._on_compass, STREAM_COMPASS),
+        ):
+            rx.append(
+                (
+                    NativeUdpReceiver(
+                        host=ucfg.host, port=ucfg.port,
+                        buffer_size=ucfg.buffer_size,
+                    ),
+                    cb, stream, ucfg,
+                )
+            )
+        log.info(
+            "live pipeline up [native io] (lidar :%d, compass :%d)",
+            self.lidar_udp.port, self.compass_udp.port,
+        )
+        deadline = None if duration_s is None else _time.monotonic() + duration_s
+        warned_at = [0.0] * len(rx)
+        loop = asyncio.get_running_loop()
+        try:
+            while deadline is None or _time.monotonic() < deadline:
+                idle = True
+                for i, (r, cb, stream, ucfg) in enumerate(rx):
+                    for payload in r.poll():
+                        idle = False
+                        if self.recorder is not None:
+                            self.recorder.write(stream, loop.time(), payload)
+                        cb(payload)
+                    t = ucfg.receive_timeout_s
+                    if t and r.silent_ms >= 1e3 * t:
+                        now = _time.monotonic()
+                        if now - warned_at[i] >= t:  # once per silent window
+                            warned_at[i] = now
+                            self._on_error(
+                                TimeoutError(
+                                    f"no datagrams on :{ucfg.port} for "
+                                    f"{r.silent_ms / 1e3:.1f}s"
+                                )
+                            )
+                await asyncio.sleep(0.0 if not idle else 0.002)
+        finally:
+            for r, *_ in rx:
+                r.close()
             self._stop.set()
             worker.join(timeout=2.0)
             if self.recorder is not None:

@@ -74,6 +74,54 @@ class TestLivePipeline:
         assert streams == {STREAM_LIDAR, STREAM_COMPASS}
         assert len(rec) > 50
 
+    def test_native_io_backend_end_to_end(self, tmp_path):
+        """The C++ receiver backend (native/udp_ingest.cpp) must deliver the
+        same loopback stream end-to-end, including stall reporting."""
+        from slamtpu.runtime import native_udp
+
+        if not native_udp.available():
+            pytest.skip("native toolchain unavailable")
+        meta = small_meta()
+        cfg = make_cfg(meta)
+        replay_path = str(tmp_path / "sim.rpl")
+        simulate_replay(replay_path, meta, cfg.lidar, n_sweeps=6)
+
+        app = CollectorApp()
+        lp_port, cp_port = free_port(), free_port()
+        pipeline = LivePipeline(
+            cfg,
+            app,
+            lidar_udp=UdpConfig(host="127.0.0.1", port=lp_port,
+                                receive_timeout_s=1.0),
+            compass_udp=UdpConfig(host="127.0.0.1", port=cp_port,
+                                  receive_timeout_s=1.0),
+            io_backend="native",
+        )
+
+        def sender():
+            time.sleep(0.3)
+            out = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            n = 0
+            for stream, _ts, payload in read_replay(replay_path):
+                port = lp_port if stream == STREAM_LIDAR else cp_port
+                out.sendto(payload, ("127.0.0.1", port))
+                n += 1
+                if n % 40 == 0:
+                    time.sleep(0.01)
+            out.close()
+
+        t = threading.Thread(target=sender, daemon=True)
+        t.start()
+        asyncio.run(pipeline.run(duration_s=4.0))
+        t.join()
+
+        assert len(app.frames) >= 3, f"only {len(app.frames)} synced frames arrived"
+        ids = [f.scan.frame_id for f in app.frames]
+        assert ids == sorted(ids)
+        # the stream went quiet after the sender finished: the watchdog
+        # must have reported it through the same error path
+        assert any(isinstance(e, TimeoutError) for e in pipeline.errors)
+
     def test_stalled_stream_reported_and_survived(self, tmp_path):
         """Kill one sensor stream mid-run: the receive-timeout watchdog must
         report the stall through the error callback (udpsocket.hpp:213-254
