@@ -782,6 +782,92 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep
     reg_per_s = 1.0 / dt
 
+    detail = {
+        "backend": jax.default_backend(),
+        "iters": int(res.iterations),
+        "trans_err_m": round(trans_err, 5),
+        "rot_err_rad": round(rot_err, 5),
+        "ms_per_registration": round(dt * 1e3, 3),
+    }
+
+    # companion variants on the same map, folded into the one JSON line the
+    # driver records: aggregate throughput with 32 scans/dispatch, and the
+    # harder ~60%-overlap + out-of-map-clutter scan (accuracy asserted)
+    try:
+        from slamtpu.ndt import newton_align_fused_batch
+
+        B = 32
+        bsrcs, bxis = [], []
+        for b in range(B):
+            s = world + rng.normal(0, 0.01, world.shape).astype(np.float32)
+            xi = np.array([0.004, -0.006, 0.02, 0.6, -0.4, 0.08], np.float32) * (
+                0.5 + b / B
+            )
+            gt_b = se3.expmap(jnp.asarray(xi))
+            bsrcs.append(
+                np.asarray(se3.transform_points(se3.inverse(gt_b), jnp.asarray(s)))
+            )
+            bxis.append(xi)
+        bpts = jnp.asarray(np.stack(bsrcs))
+        bmask = jnp.ones((B, N_POINTS), bool)
+        init_b = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+            se3.identity(dtype=jnp.float32),
+        )
+        bcfg = NewtonConfig(resolution=RESOLUTION, max_iterations=20, trans_eps=3e-4)
+        balign = jax.jit(
+            newton_align_fused_batch,
+            static_argnames=("cfg", "grid_shape", "inner_iters"),
+        )
+        bres = balign(bpts, bmask, regmap, init_b, bcfg, (192, 192, 48), 10)
+        jax.block_until_ready(bres.pose.trans)
+        for b in range(B):
+            e = np.asarray(
+                se3.local(
+                    se3.expmap(jnp.asarray(bxis[b])),
+                    jax.tree.map(lambda a: a[b], bres.pose),
+                )
+            )
+            assert np.linalg.norm(e[3:]) < 0.05 and np.linalg.norm(e[:3]) < 0.035
+        t0 = time.perf_counter()
+        for _ in range(8):
+            bres = balign(bpts, bmask, regmap, init_b, bcfg, (192, 192, 48), 10)
+        jax.block_until_ready(bres.pose.trans)
+        bdt = (time.perf_counter() - t0) / 8
+        detail["batch32_reg_per_s"] = round(B / bdt, 2)
+    except Exception as e:  # pragma: no cover - keep the headline alive
+        detail["batch32_reg_per_s"] = f"failed: {e}"
+
+    try:
+        hrng = np.random.default_rng(7)
+        keep = world[:, 0] + hrng.normal(0, 8.0, world.shape[0]) < 48.0
+        n_keep = int(keep.sum())
+        hsrc = np.empty_like(world)
+        hsrc[:n_keep] = world[keep] + hrng.normal(0, 0.01, (n_keep, 3)).astype(
+            np.float32
+        )
+        n_new = world.shape[0] - n_keep
+        hsrc[n_keep:] = np.stack(
+            [hrng.uniform(60, 110, n_new), hrng.uniform(0, 80, n_new),
+             hrng.uniform(0, 6, n_new)], -1
+        ).astype(np.float32)
+        hsrc_body = se3.transform_points(se3.inverse(gt), jnp.asarray(hsrc))
+        hres = align(hsrc_body, mask, regmap, se3.identity(dtype=jnp.float32), cfg)
+        jax.block_until_ready(hres.pose.trans)
+        herr = np.asarray(se3.local(gt, hres.pose))
+        assert np.linalg.norm(herr[3:]) < 0.05 and np.linalg.norm(herr[:3]) < 0.035
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            hres = align(hsrc_body, mask, regmap, se3.identity(dtype=jnp.float32), cfg)
+        jax.block_until_ready(hres.pose.trans)
+        hdt = (time.perf_counter() - t0) / n_rep
+        detail["hard_overlap60_reg_per_s"] = round(1.0 / hdt, 2)
+        detail["hard_overlap60_trans_err_m"] = round(
+            float(np.linalg.norm(herr[3:])), 5
+        )
+    except Exception as e:  # pragma: no cover
+        detail["hard_overlap60_reg_per_s"] = f"failed: {e}"
+
     print(
         json.dumps(
             {
@@ -789,13 +875,7 @@ def main():
                 "value": round(reg_per_s, 3),
                 "unit": "registrations/s",
                 "vs_baseline": round(reg_per_s / BASELINE_REG_PER_S, 3),
-                "detail": {
-                    "backend": jax.default_backend(),
-                    "iters": int(res.iterations),
-                    "trans_err_m": round(trans_err, 5),
-                    "rot_err_rad": round(rot_err, 5),
-                    "ms_per_registration": round(dt * 1e3, 3),
-                },
+                "detail": detail,
             }
         )
     )

@@ -83,6 +83,17 @@ class TestLoSvn:
         errs = traj_errors(traj, gt)
         assert errs.max() < 0.3, errs
         assert_stats_filled(app)
+        # deferred recording must be invisible: flushing after every frame
+        # yields the identical trajectory
+        app_sync = LoSvnApp(cfg)
+        for synced in app_sync.ingest.synced_frames(path):
+            app_sync.process(synced)
+            app_sync.flush()
+        assert len(app_sync.trajectory) == len(traj)
+        for a, b in zip(app_sync.trajectory, traj):
+            np.testing.assert_allclose(
+                np.asarray(a.pose.trans), np.asarray(b.pose.trans), atol=1e-6
+            )
         # reduced-cadence map rebuild: <=2-keyframe target staleness must
         # not break odometry at this motion scale
         import dataclasses as _dc

@@ -251,6 +251,39 @@ class TestProjection:
         assert int(sb.num_points) == mask.sum()
         assert n_checked == 16 * luts.subset_channels
 
+    def test_packed_projection_matches_unpacked(self):
+        """pack_frame + project_frame_packed == project_frame (the packed
+        path is the production ingest: one host->device transfer)."""
+        from slamtpu.lidar.project import pack_frame, project_frame_packed
+
+        meta = make_meta(cols=8, pix=4, cpp=4)
+        params = LidarParams()
+        luts = build_luts(meta, params)
+        ranges = (RNG.random((8, 4)) * 50).astype(np.float32)
+        refl = RNG.integers(0, 255, (8, 4)).astype(np.uint8)
+        ts = 86_000.0 + np.linspace(0.0, 0.1, 8)  # large absolute day-seconds
+        valid = np.ones(8, bool)
+        valid[3] = False
+        filters = filters_from_params(params)
+        a = project_frame(
+            jnp.asarray(ranges), jnp.asarray(refl),
+            jnp.asarray(ts - ts[0]),  # unpacked path gets the same re-base
+            jnp.asarray(valid),
+            jnp.asarray(luts.direction), jnp.asarray(luts.offset), filters,
+        )
+        packed = pack_frame(ranges, refl, ts, valid)
+        b = project_frame_packed(
+            jnp.asarray(packed), jnp.asarray(luts.direction),
+            jnp.asarray(luts.offset), filters,
+        )
+        np.testing.assert_allclose(np.asarray(b.points), np.asarray(a.points), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(b.mask), np.asarray(a.mask))
+        np.testing.assert_allclose(np.asarray(b.alpha), np.asarray(a.alpha), atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(b.reflectivity), np.asarray(a.reflectivity)
+        )
+        assert int(b.num_points) == int(a.num_points)
+
     def test_alpha_normalized(self):
         meta = make_meta(cols=8, pix=4, cpp=4)
         params = LidarParams()
