@@ -458,6 +458,45 @@ def _app_bench(app_name: str, n_sweeps: int = 50):
                       "detail": detail}))
 
 
+
+def _batch_scenario(world, B: int):
+    """B noisy copies of the world at staggered offsets + their true xis."""
+    import jax.numpy as jnp
+
+    from slamtpu.core import se3
+
+    rng = np.random.default_rng(42)
+    xis, srcs = [], []
+    for b in range(B):
+        src = world + rng.normal(0, 0.01, world.shape).astype(np.float32)
+        xi = np.array(
+            [0.004, -0.006, 0.02, 0.6, -0.4, 0.08], np.float32
+        ) * (0.5 + b / B)
+        gt_b = se3.expmap(jnp.asarray(xi))
+        srcs.append(
+            np.asarray(se3.transform_points(se3.inverse(gt_b), jnp.asarray(src)))
+        )
+        xis.append(xi)
+    return jnp.asarray(np.stack(srcs)), jnp.ones((B, world.shape[0]), bool), xis
+
+
+def _hard_scenario(world):
+    """~60%-overlap source: keep a jittered half-plane of the world, replace
+    the rest with clutter partly outside the mapped extent. Returns
+    (source_points float32 ndarray, overlap_fraction)."""
+    rng = np.random.default_rng(7)
+    keep = world[:, 0] + rng.normal(0, 8.0, world.shape[0]) < 48.0
+    n_keep = int(keep.sum())
+    src = np.empty_like(world)
+    src[:n_keep] = world[keep] + rng.normal(0, 0.01, (n_keep, 3)).astype(np.float32)
+    n_new = world.shape[0] - n_keep
+    src[n_keep:] = np.stack(
+        [rng.uniform(60, 110, n_new), rng.uniform(0, 80, n_new),
+         rng.uniform(0, 6, n_new)], -1
+    ).astype(np.float32)
+    return src, n_keep / world.shape[0]
+
+
 def bench_batch(B: int = 32):
     """Config 1 throughput variant: B concurrent registrations against one
     shared map in a single dispatch (newton_align_fused_batch). Aggregate
@@ -474,18 +513,7 @@ def bench_batch(B: int = 32):
         gaussian_map.build_map, static_argnames=("capacity", "min_points_per_voxel")
     )(pts, mask, origin, RESOLUTION, capacity=MAP_CAPACITY)
     regmap = build_regmap(gmap, grid_shape=(192, 192, 48))
-    rng = np.random.default_rng(42)
-    xis, srcs = [], []
-    for b in range(B):
-        src = world + rng.normal(0, 0.01, world.shape).astype(np.float32)
-        xi = np.array(
-            [0.004, -0.006, 0.02, 0.6, -0.4, 0.08], np.float32
-        ) * (0.5 + b / B)
-        gt_b = se3.expmap(jnp.asarray(xi))
-        srcs.append(np.asarray(se3.transform_points(se3.inverse(gt_b), jnp.asarray(src))))
-        xis.append(xi)
-    batch_pts = jnp.asarray(np.stack(srcs))
-    batch_mask = jnp.ones((B, N_POINTS), bool)
+    batch_pts, batch_mask, xis = _batch_scenario(world, B)
     init = se3.identity(dtype=jnp.float32)
     init_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), init)
     # 2 outer gathers (20 iters x inner 10) measured as the throughput
@@ -544,20 +572,7 @@ def bench_hard_overlap():
         gaussian_map.build_map, static_argnames=("capacity", "min_points_per_voxel")
     )(pts, mask, origin, RESOLUTION, capacity=MAP_CAPACITY)
     regmap = build_regmap(gmap, grid_shape=(192, 192, 48))
-    rng = np.random.default_rng(7)
-    # keep ~60% of the world (a half-plane cut with jitter), replace the rest
-    # with clutter the map has never seen (0-80 m box the map partly covers,
-    # plus 20% fully outside the mapped extent)
-    keep = world[:, 0] + rng.normal(0, 8.0, world.shape[0]) < 48.0
-    n_keep = int(keep.sum())
-    src = np.empty_like(world)
-    src[:n_keep] = world[keep] + rng.normal(0, 0.01, (n_keep, 3)).astype(np.float32)
-    n_new = world.shape[0] - n_keep
-    clutter = np.stack(
-        [rng.uniform(60, 110, n_new), rng.uniform(0, 80, n_new),
-         rng.uniform(0, 6, n_new)], -1
-    ).astype(np.float32)
-    src[n_keep:] = clutter
+    src, overlap_frac = _hard_scenario(world)
     true_xi = jnp.asarray([0.004, -0.006, 0.02, 0.6, -0.4, 0.08], jnp.float32)
     gt = se3.expmap(true_xi)
     src_body = se3.transform_points(se3.inverse(gt), jnp.asarray(src))
@@ -586,7 +601,7 @@ def bench_hard_overlap():
                 "unit": "registrations/s",
                 "vs_baseline": round(1.0 / dt / BASELINE_REG_PER_S, 2),
                 "detail": {
-                    "overlap_frac": round(n_keep / world.shape[0], 3),
+                    "overlap_frac": round(overlap_frac, 3),
                     "trans_err_m": round(te, 5),
                     "rot_err_rad": round(re_, 5),
                     "iters": int(res.iterations),
@@ -797,19 +812,7 @@ def main():
         from slamtpu.ndt import newton_align_fused_batch
 
         B = 32
-        bsrcs, bxis = [], []
-        for b in range(B):
-            s = world + rng.normal(0, 0.01, world.shape).astype(np.float32)
-            xi = np.array([0.004, -0.006, 0.02, 0.6, -0.4, 0.08], np.float32) * (
-                0.5 + b / B
-            )
-            gt_b = se3.expmap(jnp.asarray(xi))
-            bsrcs.append(
-                np.asarray(se3.transform_points(se3.inverse(gt_b), jnp.asarray(s)))
-            )
-            bxis.append(xi)
-        bpts = jnp.asarray(np.stack(bsrcs))
-        bmask = jnp.ones((B, N_POINTS), bool)
+        bpts, bmask, bxis = _batch_scenario(world, B)
         init_b = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (B,) + a.shape),
             se3.identity(dtype=jnp.float32),
@@ -839,18 +842,7 @@ def main():
         detail["batch32_reg_per_s"] = f"failed: {e}"
 
     try:
-        hrng = np.random.default_rng(7)
-        keep = world[:, 0] + hrng.normal(0, 8.0, world.shape[0]) < 48.0
-        n_keep = int(keep.sum())
-        hsrc = np.empty_like(world)
-        hsrc[:n_keep] = world[keep] + hrng.normal(0, 0.01, (n_keep, 3)).astype(
-            np.float32
-        )
-        n_new = world.shape[0] - n_keep
-        hsrc[n_keep:] = np.stack(
-            [hrng.uniform(60, 110, n_new), hrng.uniform(0, 80, n_new),
-             hrng.uniform(0, 6, n_new)], -1
-        ).astype(np.float32)
+        hsrc, _hfrac = _hard_scenario(world)
         hsrc_body = se3.transform_points(se3.inverse(gt), jnp.asarray(hsrc))
         hres = align(hsrc_body, mask, regmap, se3.identity(dtype=jnp.float32), cfg)
         jax.block_until_ready(hres.pose.trans)

@@ -147,6 +147,30 @@ def maybe_deskew(scan: ScanBuffer, synced: SyncedFrame, ref_lla, enabled: bool) 
     return deskew_scan(scan, pose_s, pose_e)
 
 
+class MapRebuildCadence:
+    """Shared rebuild-cadence state for apps carrying a cached RegMap
+    (RegisterConfig.map_rebuild_every): the map+RegMap build runs under
+    lax.cond inside the fused step and only executes on rebuild keyframes.
+    One implementation so lo_svn and ligo_tc keep identical invalidation
+    semantics (periodic + forced on origin recentering)."""
+
+    def __init__(self, register_cfg, grid_shape):
+        self._every = max(int(register_cfg.map_rebuild_every), 1)
+        self._idx = 0
+        if grid_shape is not None:
+            from ..ndt.regmap import empty_regmap
+
+            self.regmap = empty_regmap(register_cfg.map_capacity, grid_shape)
+        else:
+            self.regmap = None
+
+    def tick(self, force: bool = False) -> bool:
+        """Advance one keyframe; True when this keyframe must rebuild."""
+        rebuild = force or (self._idx % self._every == 0)
+        self._idx += 1
+        return rebuild
+
+
 @dataclasses.dataclass
 class TrajectoryEntry:
     timestamp: float

@@ -45,8 +45,9 @@ from ..mapping import gaussian_map
 from ..ndt import NewtonConfig
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
-from .common import (IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew,
-    np_between, np_pose7, np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
+from .common import (IngestPipeline, MapRebuildCadence, TrajectoryEntry,
+    ins_pose_ned, maybe_deskew, np_between, np_pose7, np_sqrt_info_from_cov,
+    np_sqrt_info_from_sigmas)
 from .odom_ndt import _register_step
 from .packed import PackedStep
 
@@ -156,8 +157,9 @@ class LigoTcApp:
         self._kf_masks = None  # (K, N)
         self._kf_slots: List[Optional[dict]] = []
         self._kf_head = 0
-        self._regmap = None  # cached registration map (reduced-cadence rebuild)
-        self._kf_idx = 0
+        self._cadence = MapRebuildCadence(
+            reg, tuple(reg.reg_grid_shape) if reg.use_regmap else None
+        )
         self._trust = robust.trust_gain_init_np()
         self._win: List[dict] = []  # per-state dicts (numpy): pose, vel, bias, ins, pim
         self._fuse_step = PackedStep(self._fuse_device)
@@ -276,14 +278,8 @@ class LigoTcApp:
         )
         imu = self._imu_window(synced)
         reg = self.cfg.register
-        use_regmap = reg.use_regmap
-        grid_shape = tuple(reg.reg_grid_shape) if use_regmap else None
-        if self._regmap is None and use_regmap:
-            from ..ndt.regmap import empty_regmap
-
-            self._regmap = empty_regmap(reg.map_capacity, grid_shape)
-        rebuild = shifted or (self._kf_idx % max(int(reg.map_rebuild_every), 1) == 0)
-        self._kf_idx += 1
+        grid_shape = tuple(reg.reg_grid_shape) if reg.use_regmap else None
+        rebuild = self._cadence.tick(force=shifted)
         flat = np.concatenate(
             [
                 np.asarray(prev["pose"][0], np.float64).ravel(),
@@ -296,10 +292,10 @@ class LigoTcApp:
             ]
         )
         with self.timer.span("ndt"):
-            self._regmap, out = _ligo_step(
+            self._cadence.regmap, out = _ligo_step(
                 self._kf_clouds, self._kf_masks, self._window_poses(),
                 scan.points, scan.mask,
-                imu, flat, self._regmap, self.noise,
+                imu, flat, self._cadence.regmap, self.noise,
                 self.newton_cfg,
                 reg.map_capacity,
                 reg.min_points_per_voxel,

@@ -28,7 +28,8 @@ from ..mapping import gaussian_map
 from ..ndt import SvnConfig, svn_align
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
-from .common import IngestPipeline, TrajectoryEntry, ins_pose_ned
+from .common import (IngestPipeline, MapRebuildCadence, TrajectoryEntry,
+    ins_pose_ned)
 from .common import maybe_deskew as common_deskew
 
 log = logging.getLogger("slamtpu.lo_svn")
@@ -169,8 +170,9 @@ class LoSvnApp:
         self._kf_head = 0
         self._origin = None
         self._key = jax.random.PRNGKey(self.seed)
-        self._regmap = None  # cached registration map (reduced-cadence rebuild)
-        self._kf_idx = 0  # keyframes processed through _lo_svn_step
+        self._cadence = MapRebuildCadence(
+            reg, tuple(reg.reg_grid_shape) if reg.use_regmap else None
+        )
 
     @property
     def trajectory(self) -> List[TrajectoryEntry]:
@@ -238,16 +240,10 @@ class LoSvnApp:
         if shifted:
             log.info("map origin recentered at keyframe %d", synced.scan.frame_id)
         reg = self.cfg.register
-        use_regmap = reg.use_regmap
-        grid_shape = tuple(reg.reg_grid_shape) if use_regmap else None
-        if self._regmap is None and use_regmap:
-            from ..ndt.regmap import empty_regmap
-
-            self._regmap = empty_regmap(reg.map_capacity, grid_shape)
+        grid_shape = tuple(reg.reg_grid_shape) if reg.use_regmap else None
         # rebuild the registration target every map_rebuild_every keyframes
         # (a recentered origin invalidates the cache unconditionally)
-        rebuild = shifted or (self._kf_idx % max(int(reg.map_rebuild_every), 1) == 0)
-        self._kf_idx += 1
+        rebuild = self._cadence.tick(force=shifted)
         flat = np.concatenate(
             [
                 np.asarray(ins_pose.rot, np.float64).ravel(),
@@ -258,7 +254,7 @@ class LoSvnApp:
             ]
         ).astype(np.float32)
         with self.timer.span("svn_step"):
-            self._kf_points, self._kf_mask, self._key, scalars, self._regmap = (
+            self._kf_points, self._kf_mask, self._key, scalars, self._cadence.regmap = (
                 _lo_svn_step(
                     self._kf_points,
                     self._kf_mask,
@@ -267,7 +263,7 @@ class LoSvnApp:
                     flat,
                     jnp.int32(self._kf_head),
                     self._key,
-                    self._regmap,
+                    self._cadence.regmap,
                     self.svn_cfg,
                     reg.map_capacity,
                     reg.min_points_per_voxel,

@@ -265,6 +265,7 @@ class OdomNdtApp:
             if self.method == "GICP"
             else reg.ndt_transform_epsilon,
             use_direct1=reg.search_method == "DIRECT1",
+            gicp_max_corr_dist=reg.gicp_corr_dist_threshold,
         )
         self.svn_cfg = None
         self._key = None

@@ -103,8 +103,13 @@ def pack_frame(ranges_m, reflectivity, col_timestamp_s, col_valid):
     out[:, :sub] = ranges_m
     out[:, sub : 2 * sub] = reflectivity
     ts = np.asarray(col_timestamp_s, np.float64)
-    out[:, 2 * sub] = ts - ts[0]
-    out[:, 2 * sub + 1] = col_valid
+    valid = np.asarray(col_valid, bool)
+    # rebase to the first VALID column — missing columns carry ts = 0.0, and
+    # rebasing to one of those would leave ~86400-s absolutes whose float32
+    # quantization (~10 ms) collapses the deskew alpha to a few levels
+    base = ts[valid][0] if valid.any() else 0.0
+    out[:, 2 * sub] = ts - base
+    out[:, 2 * sub + 1] = valid
     return out
 
 

@@ -42,18 +42,31 @@ def score_grad_hess_gicp(
     grid_shape: tuple,
     hess_lambda: float = 1e-6,
     max_mahal: float = 9.0,
+    max_corr_dist: float = 5.0,
 ) -> NdtObjective:
     """GICP cost (negated, so it is maximized like the NDT score).
 
     ``max_mahal`` gates outlier pairs (pairs beyond 3 sigma contribute
     nothing — the robustness analog of NDT's bounded exp weight).
+    ``max_corr_dist`` is the reference's Euclidean correspondence-distance
+    gate (gicp_corr_dist_threshold, src/registercallback.cpp:56-61); voxel
+    correspondences sit within ~1.5x resolution, so the 5 m default is
+    inactive and the knob only bites when tightened below that.
     Expects a RegMap built from ``gicp_map(...)``.
     """
-    # Reuse the fused pair gather; only mahal / icov / icx are needed here.
-    _tp, icov, icx, _f, _sp, _ok, mahal, active = regmap_mod._pair_terms_reg(
-        points, mask, pose, regmap, d1=-1.0, d2=2.0, grid_shape=grid_shape
+    tp, mu, icov, active = regmap_mod.gather_pair_data(
+        points, mask, pose, regmap, grid_shape
     )
-    inlier = active & (mahal <= max_mahal) & jnp.isfinite(mahal)
+    icx, _factor, _sp, _ok, mahal = regmap_mod._pair_math(
+        tp, mu, icov, active, d1=-1.0, d2=2.0
+    )
+    dist2 = jnp.sum((tp[:, None, :] - mu) ** 2, axis=-1)
+    inlier = (
+        active
+        & (mahal <= max_mahal)
+        & (dist2 <= max_corr_dist**2)
+        & jnp.isfinite(mahal)
+    )
     w = inlier.astype(points.dtype)
 
     J = point_jacobian(points, pose)
@@ -79,7 +92,8 @@ def gicp_align(
 
     def eval_obj(pose):
         return score_grad_hess_gicp(
-            points, mask, pose, regmap, grid_shape, cfg.hess_lambda
+            points, mask, pose, regmap, grid_shape, cfg.hess_lambda,
+            max_corr_dist=cfg.gicp_max_corr_dist,
         )
 
     return _newton_loop(eval_obj, points.dtype, init_pose, cfg)

@@ -40,6 +40,10 @@ class NewtonConfig(NamedTuple):
     # is unverifiable here — the submodule content is absent from the
     # reference snapshot — so the per-pair weighting is our definition.)
     reg_weight: float = 0.0
+    # GICP engine only: Euclidean correspondence-distance gate in meters
+    # (the reference's gicp_corr_dist_threshold; voxel correspondences are
+    # <= ~1.5x resolution away, so the 5 m default is inactive by design)
+    gicp_max_corr_dist: float = 5.0
 
 
 class NewtonResult(NamedTuple):
@@ -105,13 +109,20 @@ def newton_align_reg(
 def regularize_step(pose: Pose3, grad, hess, n_contrib, cfg: NewtonConfig, reg_pose):
     """Add the prior-pose quadratic penalty to (grad, hess) — shared by the
     XLA and fused-Pallas Newton loops. No-op when reg_weight == 0 or no
-    reg_pose is given (resolved at trace time)."""
+    reg_pose is given (resolved at trace time).
+
+    Sign convention: the NDT score is MAXIMIZED (H negative definite), so the
+    augmented objective is score - 0.5*w*|xi|^2 and the penalty SUBTRACTS:
+    grad - w*xi, hess - w*I. (The stationary point is then the correct MAP
+    blend solve(H - wI, ...) and the system stays definite for any w; with
+    the signs flipped the "pull" provably repels at moderate w — caught by a
+    toy-quadratic check: data optimum 1.0, prior 0, h=4, w=1 must give 0.8.)"""
     if reg_pose is None or cfg.reg_weight <= 0.0:
         return grad, hess
     dtype = grad.dtype
     w = jnp.asarray(cfg.reg_weight, dtype) * jnp.maximum(n_contrib, 1).astype(dtype)
     xi = se3.local(se3.cast(reg_pose, dtype), se3.cast(pose, dtype))
-    return grad + w * xi, hess + w * jnp.eye(6, dtype=dtype)
+    return grad - w * xi, hess - w * jnp.eye(6, dtype=dtype)
 
 
 def _newton_loop(

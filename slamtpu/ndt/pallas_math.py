@@ -94,7 +94,11 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref, *, gicp: bool):
         exponent = 0.5 * d2 * mahal
         zero = jnp.float32(0.0)
         if gicp:
-            ok = valid & (mahal <= gicp_max_mahal)
+            # d2 slot carries max_corr_dist^2 in GICP mode (unused by the
+            # quadratic cost): the reference's correspondence-distance gate
+            # (gicp_corr_dist_threshold) on top of the Mahalanobis trim
+            dist2 = xr0 * xr0 + xr1 * xr1 + xr2 * xr2
+            ok = valid & (mahal <= gicp_max_mahal) & (dist2 <= d2)
             pair_score = -mahal
             f = jnp.where(ok, jnp.float32(-2.0), zero)
         else:
@@ -300,6 +304,10 @@ def newton_align_fused(
     from .newton import NewtonResult, regularize_step
 
     d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
+    if _gicp:
+        # the kernel's d2 slot carries the squared correspondence-distance
+        # gate in GICP mode (gicp_corr_dist_threshold analog)
+        d2 = float(cfg.gicp_max_corr_dist) ** 2
     dtype = jnp.float32
     ptsT = points.T.astype(dtype)
     n_outer = -(-cfg.max_iterations // inner_iters)

@@ -136,22 +136,29 @@ class LivePipeline:
 
         from .native_udp import NativeUdpReceiver
 
+        # open both sockets BEFORE starting anything: a failed second bind
+        # must not leak the first receiver's C++ thread or a live worker
+        rx = []
+        try:
+            for ucfg, cb, stream in (
+                (self.lidar_udp, self._on_lidar, STREAM_LIDAR),
+                (self.compass_udp, self._on_compass, STREAM_COMPASS),
+            ):
+                rx.append(
+                    (
+                        NativeUdpReceiver(
+                            host=ucfg.host, port=ucfg.port,
+                            buffer_size=ucfg.buffer_size,
+                        ),
+                        cb, stream, ucfg,
+                    )
+                )
+        except Exception:
+            for r, *_ in rx:
+                r.close()
+            raise
         worker = threading.Thread(target=self._worker, daemon=True)
         worker.start()
-        rx = []
-        for ucfg, cb, stream in (
-            (self.lidar_udp, self._on_lidar, STREAM_LIDAR),
-            (self.compass_udp, self._on_compass, STREAM_COMPASS),
-        ):
-            rx.append(
-                (
-                    NativeUdpReceiver(
-                        host=ucfg.host, port=ucfg.port,
-                        buffer_size=ucfg.buffer_size,
-                    ),
-                    cb, stream, ucfg,
-                )
-            )
         log.info(
             "live pipeline up [native io] (lidar :%d, compass :%d)",
             self.lidar_udp.port, self.compass_udp.port,

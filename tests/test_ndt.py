@@ -143,6 +143,58 @@ class TestNewton:
         assert np.isfinite(cov).all()
 
 
+class TestPoseRegularization:
+    """Prior-pose penalty (the ndt_omp setRegularizationPose analog). The
+    score is MAXIMIZED (H negative definite), so the penalty must SUBTRACT
+    from grad/hess — the flipped sign provably repels (caught in review)."""
+
+    def test_toy_quadratic_map_blend(self):
+        """Data optimum t*=1 (curvature 4), prior 0, w=1 -> MAP = 4/5."""
+        from slamtpu.ndt.newton import regularize_step
+
+        cfg = NewtonConfig(reg_weight=1.0)
+        reg_pose = se3.identity(dtype=jnp.float64)
+        t = 0.3  # arbitrary linearization point along x
+        pose = se3.retract(reg_pose, jnp.asarray([0, 0, 0, t, 0, 0.0]))
+        # maximized data objective -2 (tx - 1)^2: grad = -4 (t-1), hess = -4 I
+        g = jnp.zeros(6, jnp.float64).at[3].set(-4.0 * (t - 1.0))
+        H = -4.0 * jnp.eye(6, dtype=jnp.float64)
+        g2, H2 = regularize_step(pose, g, H, jnp.asarray(1), cfg, reg_pose)
+        step = jnp.linalg.solve(H2, -g2)
+        t_new = t + float(step[3])
+        assert t_new == pytest.approx(4.0 / 5.0, abs=1e-9)
+        # the augmented system must stay definite (negative) for any w
+        assert float(jnp.linalg.eigvalsh(H2).max()) < 0.0
+
+    def test_registration_pulls_toward_prior(self, fixture):
+        """With a deliberately wrong prior, the regularized optimum lies
+        between the data optimum and the prior, monotonically approaching
+        the prior as the weight grows."""
+        _, _, gmap, _, source, mask_s = fixture
+        R, t = gt_pose()
+        gt = se3.Pose3(jnp.asarray(R), jnp.asarray(t))
+        init = se3.retract(gt, jnp.asarray([0.0, 0.0, 0.0, 0.05, 0.0, 0.0]))
+        wrong_prior = se3.retract(gt, jnp.asarray([0.0, 0.0, 0.0, 0.6, 0.0, 0.0]))
+        dists = []
+        for w in (0.0, 2.0, 1e6):
+            cfg = NewtonConfig(
+                resolution=RES, outlier_ratio=OUTLIER, max_iterations=50,
+                trans_eps=1e-4, reg_weight=w,
+            )
+            res = jax.jit(newton_align, static_argnames=("cfg",))(
+                jnp.asarray(source), jnp.asarray(mask_s), gmap, init, cfg,
+                reg_pose=wrong_prior,
+            )
+            dists.append(float(jnp.linalg.norm(
+                se3.local(wrong_prior, res.pose)
+            )))
+        # unregularized sits at the data optimum (farthest from the wrong
+        # prior); moderate weight moves strictly toward it; huge weight pins
+        assert dists[1] < dists[0], dists
+        assert dists[2] < 1e-2, dists
+        assert np.isfinite(dists).all()
+
+
 class TestSVN:
     def test_svn_k10_converges(self, fixture):
         _, _, gmap, _, source, mask_s = fixture

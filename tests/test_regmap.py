@@ -164,6 +164,28 @@ class TestGicp:
         )
         assert s_gt > s_off  # scores are negated costs
 
+    def test_corr_dist_threshold_gates_pairs(self, setup):
+        """gicp_corr_dist_threshold must actually trim correspondences (it
+        was parsed-but-unread once): tightening it below the voxel scale
+        drops pairs; the 5 m default is inactive by design."""
+        from slamtpu.ndt import gicp_map, score_grad_hess_gicp
+
+        gmap, _, source, gt = setup
+        greg = build_regmap(gicp_map(gmap), grid_shape=GRID)
+        mask = jnp.ones(len(source), bool)
+        pose = se3.retract(gt, jnp.asarray([0.0, 0, 0, 0.1, 0, 0]))
+        n_default = int(
+            score_grad_hess_gicp(
+                jnp.asarray(source), mask, pose, greg, GRID, max_corr_dist=5.0
+            ).n_contrib
+        )
+        n_tight = int(
+            score_grad_hess_gicp(
+                jnp.asarray(source), mask, pose, greg, GRID, max_corr_dist=0.08
+            ).n_contrib
+        )
+        assert 0 < n_tight < n_default
+
 
 class TestMultiRes:
     def test_wider_basin_than_single_level(self, setup):
