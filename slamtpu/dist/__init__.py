@@ -1,4 +1,5 @@
 from .sharded import (
+    batch_align_sharded,
     build_map_sharded,
     lo_train_step,
     make_mesh,
@@ -9,6 +10,7 @@ from .sharded import (
 
 __all__ = [
     "make_mesh",
+    "batch_align_sharded",
     "build_map_sharded",
     "newton_align_sharded",
     "newton_align_sharded_fused",

@@ -408,3 +408,42 @@ def lo_train_step(
 
     new_stats = _update_map(points, mask, pose, map_stats)
     return pose, hess, score, iters, new_stats
+
+
+def batch_align_sharded(
+    mesh: Mesh,
+    points: jax.Array,  # (B, N, 3), B divisible by mesh size
+    mask: jax.Array,  # (B, N)
+    regmap,  # ndt.RegMap, replicated
+    init_poses: Pose3,  # (B,)-batched
+    cfg,  # NewtonConfig
+    grid_shape: tuple,
+    inner_iters: int = 1,
+    block: int = None,
+    axis_name: str = "data",
+):
+    """Data-parallel registration service: B independent scans against ONE
+    shared map, the batch axis sharded over the mesh, the RegMap replicated.
+    Each chip runs the vmapped fused Newton path on its local B/D scans —
+    zero collectives in steady state (the complement of
+    ``newton_align_sharded_fused``, which shards the POINTS of one scan).
+    This is the multi-chip throughput/serving mode: localization requests
+    against a common prebuilt map fan out across the pod."""
+    from ..ndt.pallas_math import newton_align_fused_batch
+
+    interpret = mesh.devices.flat[0].platform != "tpu"
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_rep=False,
+    )
+    def _run(pts, msk, rmap, init):
+        return newton_align_fused_batch(
+            pts, msk, rmap, init, cfg, grid_shape, inner_iters,
+            interpret=interpret, block=block,
+        )
+
+    return _run(points, mask, regmap, init_poses)

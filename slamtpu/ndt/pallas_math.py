@@ -286,6 +286,7 @@ def newton_align_fused(
     inner_iters: int = 1,
     reg_pose: Pose3 = None,
     interpret: bool = None,
+    block: int = None,
     _gicp: bool = False,
     _gicp_max_mahal: float = 9.0,
 ) -> "NewtonResult":
@@ -316,6 +317,7 @@ def newton_align_fused(
         obj = fused_objective(
             ptsT, megaT, pose, d1, d2, cfg.hess_lambda,
             gicp=_gicp, gicp_max_mahal=_gicp_max_mahal, interpret=interpret,
+            block=block,
         )
         grad, hess = regularize_step(
             pose, obj.grad, obj.hess, obj.n_contrib, cfg, reg_pose
@@ -375,6 +377,7 @@ def newton_align_fused_batch(
     grid_shape: tuple,
     inner_iters: int = 1,
     interpret: bool = None,
+    block: int = None,
 ) -> "NewtonResult":
     """Register B scans against ONE shared map in a single dispatch.
 
@@ -386,6 +389,7 @@ def newton_align_fused_batch(
     """
     return jax.vmap(
         lambda p, m, ip: newton_align_fused(
-            p, m, regmap, ip, cfg, grid_shape, inner_iters, interpret=interpret
+            p, m, regmap, ip, cfg, grid_shape, inner_iters,
+            interpret=interpret, block=block,
         )
     )(points, mask, init_pose)

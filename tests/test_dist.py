@@ -179,3 +179,65 @@ class TestShardedFused:
             np.asarray(pose.trans), np.asarray(ref.pose.trans), atol=5e-3
         )
         np.testing.assert_allclose(float(score), float(ref.score), rtol=1e-3)
+
+
+class TestBatchAlignSharded:
+    def test_matches_unsharded_batch(self):
+        """Data-parallel serving mode: B scans sharded over the mesh must
+        reproduce the single-device vmapped batch exactly (no collectives —
+        each scan is independent)."""
+        from slamtpu.dist import batch_align_sharded, make_mesh
+        from slamtpu.mapping import gaussian_map
+        from slamtpu.ndt import NewtonConfig, build_regmap
+        from slamtpu.ndt.pallas_math import newton_align_fused_batch
+
+        rng = np.random.default_rng(5)
+        N = 256
+        centers = rng.uniform(2, 30, (24, 3)) * np.array([1, 1, 0.25])
+        world = (centers[rng.integers(0, 24, N)] + rng.normal(0, 0.3, (N, 3))).astype(
+            np.float32
+        )
+        pts = jnp.asarray(world)
+        mask = jnp.ones(N, bool)
+        origin = jnp.asarray([-8.0, -8.0, -8.0], jnp.float32)
+        gmap = gaussian_map.build_map(
+            pts, mask, origin, 1.0, capacity=4096, min_points_per_voxel=4
+        )
+        rm = build_regmap(gmap, grid_shape=(48, 48, 16))
+        B = 8
+        bpts = np.empty((B, N, 3), np.float32)
+        gts = []
+        for b in range(B):
+            xi = jnp.asarray(
+                np.array([0.01, -0.008, 0.02, 0.25, -0.2, 0.05], np.float32)
+                * (0.5 + b / B)
+            )
+            gt = se3.expmap(xi)
+            gts.append(gt)
+            bpts[b] = np.asarray(se3.transform_points(se3.inverse(gt), pts))
+        bpts = jnp.asarray(bpts)
+        bmask = jnp.ones((B, N), bool)
+        init_b = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+            se3.identity(dtype=jnp.float32),
+        )
+        cfg = NewtonConfig(resolution=1.0, max_iterations=24, trans_eps=1e-4)
+        mesh = make_mesh()
+        sh = batch_align_sharded(
+            mesh, bpts, bmask, rm, init_b, cfg, (48, 48, 16), inner_iters=2,
+            block=128,
+        )
+        ref = newton_align_fused_batch(
+            bpts, bmask, rm, init_b, cfg, (48, 48, 16), inner_iters=2, block=128
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh.pose.trans), np.asarray(ref.pose.trans), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh.pose.rot), np.asarray(ref.pose.rot), atol=1e-6
+        )
+        for b in range(B):
+            err = np.asarray(
+                se3.local(gts[b], jax.tree.map(lambda a: a[b], sh.pose))
+            )
+            assert np.linalg.norm(err[3:]) < 0.05, (b, err)
