@@ -97,6 +97,13 @@ class InsMapApp:
             TrajectoryEntry(synced.t_end, synced.scan.frame_id, pose, pose)
         )
 
+    def flush(self):
+        """Drain deferred counters and block until the device map state is
+        materialized (used by benches so rates measure work, not dispatch)."""
+        self._drain_oor()
+        if self._stats is not None:
+            jax.block_until_ready(self._stats.n)
+
     def _drain_oor(self, frame_id=None):
         if not self._oor_pending:
             return

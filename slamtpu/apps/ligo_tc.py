@@ -302,6 +302,14 @@ class LigoTcApp:
                 grid_shape,
             )
             out = np.asarray(out, np.float64)
+        if self._cadence.regmap is not None and (self._cadence._idx & 31) == 1:
+            ovf = int(self._cadence.regmap.overflow)
+            if ovf and not getattr(self, "_ovf_warned", False):
+                self._ovf_warned = True
+                log.warning(
+                    "RegMap truncated %d dilated cells (capacity/grid too "
+                    "small) — raise map_capacity or reg_grid_shape", ovf,
+                )
         pim_np = dict(
             dR=out[0:9].reshape(3, 3), dv=out[9:12], dp=out[12:15],
             dt=float(out[15]), dR_dbg=out[16:25].reshape(3, 3),

@@ -194,6 +194,14 @@ class LoSvnApp:
     def flush(self):
         """Materialize in-flight keyframe results (one host sync for all)."""
         pending, self._pending = self._pending, []
+        if pending and self._cadence.regmap is not None:
+            ovf = int(self._cadence.regmap.overflow)
+            if ovf and not getattr(self, "_ovf_warned", False):
+                self._ovf_warned = True
+                log.warning(
+                    "RegMap truncated %d dilated cells (capacity/grid too "
+                    "small) — raise map_capacity or reg_grid_shape", ovf,
+                )
         for synced, num_points, ins_pose, dt_ms, scalars in pending:
             scalars = np.asarray(scalars, np.float64)
             published = Pose3(scalars[0:9].reshape(3, 3), scalars[9:12])

@@ -42,6 +42,37 @@ def setup():
     return gmap, regmap, source, gt
 
 
+class TestRegMapOverflow:
+    def test_capacity_overflow_counted_and_safe(self, setup):
+        """Dilated-capacity pressure: truncated cells must be COUNTED (the
+        overflow field) and the registration must stay finite — silent
+        truncation was ADVICE round-1's finding."""
+        gmap, _, source, gt = setup
+        tiny = build_regmap(gmap, grid_shape=GRID, dilated_capacity=256)
+        assert int(tiny.overflow) > 0
+        full = build_regmap(gmap, grid_shape=GRID)
+        assert int(full.overflow) == 0
+        d1, d2, _ = gauss_constants(RES, 0.55)
+        obj = score_grad_hess_reg(
+            jnp.asarray(source), jnp.ones(len(source), bool),
+            se3.cast(gt, jnp.float64), tiny, d1, d2, GRID,
+        )
+        assert np.isfinite(float(obj.score))
+        assert np.isfinite(np.asarray(obj.grad)).all()
+        # the truncated map contributes fewer pairs than the full one
+        obj_full = score_grad_hess_reg(
+            jnp.asarray(source), jnp.ones(len(source), bool),
+            se3.cast(gt, jnp.float64), full, d1, d2, GRID,
+        )
+        assert int(obj.n_contrib) <= int(obj_full.n_contrib)
+
+    def test_out_of_grid_overflow_counted(self, setup):
+        """A grid extent too small for the map must be reported."""
+        gmap, _, _, _ = setup
+        small = build_regmap(gmap, grid_shape=(8, 8, 4))
+        assert int(small.overflow) > 0
+
+
 class TestRegMapParity:
     def test_objective_matches_baseline(self, setup):
         gmap, regmap, source, gt = setup
