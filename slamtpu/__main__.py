@@ -45,8 +45,12 @@ def main(argv=None):
     )
     p.add_argument("--loop-closure", action="store_true",
                    help="odom_ndt only: detect loop closures and run the pose-graph refinement")
-    p.add_argument("--resume", help="ins_map only: resume from a map checkpoint (.npz)")
-    p.add_argument("--save-checkpoint", help="ins_map only: write a map checkpoint (.npz)")
+    p.add_argument(
+        "--resume", help="ins_map / lo_svn: resume from a checkpoint (.npz)"
+    )
+    p.add_argument(
+        "--save-checkpoint", help="ins_map / lo_svn: write a checkpoint (.npz)"
+    )
     p.add_argument("--profile", action="store_true", help="write a jax profiler trace")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
@@ -103,7 +107,11 @@ def main(argv=None):
             from slamtpu.apps import LoSvnApp
 
             app = LoSvnApp(cfg, publish=args.publish, anchor=args.anchor)
+            if args.resume:
+                app.resume_from(args.resume)
             traj = app.run_replay(args.replay, args.max_keyframes)
+            if args.save_checkpoint:
+                app.save_checkpoint(args.save_checkpoint)
         elif args.app == "odom_ndt":
             from slamtpu.apps import OdomNdtApp
 

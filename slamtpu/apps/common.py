@@ -157,6 +157,7 @@ class MapRebuildCadence:
     def __init__(self, register_cfg, grid_shape):
         self._every = max(int(register_cfg.map_rebuild_every), 1)
         self._idx = 0
+        self.force_next = False  # set on resume: the cache starts empty
         if grid_shape is not None:
             from ..ndt.regmap import empty_regmap
 
@@ -166,7 +167,8 @@ class MapRebuildCadence:
 
     def tick(self, force: bool = False) -> bool:
         """Advance one keyframe; True when this keyframe must rebuild."""
-        rebuild = force or (self._idx % self._every == 0)
+        rebuild = force or self.force_next or (self._idx % self._every == 0)
+        self.force_next = False
         self._idx += 1
         return rebuild
 

@@ -184,6 +184,20 @@ class LoSvnApp:
         self.flush()
         return self._stats_archive
 
+    def save_checkpoint(self, path: str):
+        """Persist the odometry state (keyframe ring, origin, PRNG key) so a
+        later run continues exactly — runtime.checkpoint.save_lo_svn."""
+        from ..runtime import checkpoint
+
+        checkpoint.save_lo_svn(path, self)
+
+    def resume_from(self, path: str):
+        """Restore a checkpoint; subsequent scans continue the trajectory."""
+        from ..runtime import checkpoint
+
+        checkpoint.load_lo_svn(path, self)
+        return self
+
     def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
         for synced in self.ingest.synced_frames(replay_path):
             self.process(synced)

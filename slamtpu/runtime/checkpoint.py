@@ -74,6 +74,42 @@ def load_ins_map(path: str):
     return stats, z["ref_lla"]
 
 
+def save_lo_svn(path: str, app):
+    """Checkpoint the SVN LiDAR-odometry app: keyframe ring (world-frame
+    clouds + masks + head), map origin, geodetic reference, PRNG key, and
+    rebuild-cadence index. The device state is pure arrays, so a resumed run
+    continues EXACTLY (the PRNG key makes SVN deterministic): split-run ==
+    continuous-run, proven in tests/test_e2e.py::TestLoSvnResume."""
+    app.flush()
+    assert app._kf_points is not None, "nothing to checkpoint yet"
+    np.savez_compressed(
+        path,
+        kf_points=np.asarray(app._kf_points),
+        kf_mask=np.asarray(app._kf_mask),
+        kf_head=np.asarray(app._kf_head),
+        origin=np.asarray(app._origin),
+        ref_lla=np.asarray(app._ref_lla, np.float64),
+        key=np.asarray(app._key),
+        cadence_idx=np.asarray(app._cadence._idx),
+        n_keyframes=np.asarray(app._n_keyframes),
+    )
+
+
+def load_lo_svn(path: str, app):
+    """Restore a save_lo_svn checkpoint into a freshly constructed app."""
+    z = np.load(path)
+    app._kf_points = jnp.asarray(z["kf_points"])
+    app._kf_mask = jnp.asarray(z["kf_mask"])
+    app._kf_head = int(z["kf_head"])
+    app._origin = jnp.asarray(z["origin"])
+    app._ref_lla = z["ref_lla"]
+    app._key = jnp.asarray(z["key"])
+    app._cadence._idx = int(z["cadence_idx"])
+    app._cadence.force_next = True  # the RegMap cache is not persisted
+    app._n_keyframes = int(z["n_keyframes"])
+    return app
+
+
 def save_trajectory(path: str, timestamps, poses: List[Pose3], frame_ids=None):
     quats = np.stack(
         [np.asarray(so3.rot_to_quat(jnp.asarray(p.rot))) for p in poses]

@@ -214,6 +214,44 @@ class TestInsMap:
         assert len(ell) == int(gmap.num_valid()) + 1
 
 
+class TestLoSvnResume:
+    def test_split_run_equals_continuous(self, replay):
+        """Checkpoint after half the sequence, resume in a NEW app: the
+        combined trajectory must equal the continuous run bit-for-bit-ish
+        (the carried PRNG key makes SVN deterministic)."""
+        import dataclasses as _dc
+
+        path, gt, cfg = replay
+        full = LoSvnApp(cfg)
+        frames = list(full.ingest.synced_frames(path))
+        for s in frames:
+            full.process(s)
+        traj_full = full.trajectory
+
+        half = len(frames) // 2
+        a = LoSvnApp(cfg)
+        frames_a = list(a.ingest.synced_frames(path))
+        for s in frames_a[:half]:
+            a.process(s)
+        import tempfile, os
+
+        ckpt = os.path.join(tempfile.mkdtemp(), "lo.npz")
+        a.save_checkpoint(ckpt)
+        b = LoSvnApp(cfg).resume_from(ckpt)
+        for s in frames_a[half:]:
+            b.process(s)
+        tail = b.trajectory
+        combined = a.trajectory + tail
+        assert len(combined) == len(traj_full)
+        for x, y in zip(combined, traj_full):
+            np.testing.assert_allclose(
+                np.asarray(x.pose.trans), np.asarray(y.pose.trans), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(x.pose.rot), np.asarray(y.pose.rot), atol=1e-5
+            )
+
+
 class TestCalibCompass:
     def test_csv_export(self, replay, tmp_path):
         path, _, _ = replay
