@@ -367,10 +367,12 @@ def bench_odom_berlin(n_sweeps: int = 30):
         lidar=LidarParams(channel_stride=4, range_filter=(0.5, 150.0)),
         imu=__import__("slamtpu.ins.imu_config", fromlist=["ImuConfig"]).ImuConfig(),
         register=RegisterConfig(
-            ndt_resolution=1.0, ndt_max_iterations=25,
-            map_capacity=1 << 16,  # one 65k-pt scan per target
+            ndt_resolution=1.0, ndt_max_iterations=20,
+            # one 65k-pt scan per target: ~15k occupied voxels, 2x headroom
+            # (RegMap.overflow guards the sizing)
+            map_capacity=1 << 15,
             min_points_per_voxel=4,
-            reg_grid_shape=(256, 256, 32),
+            reg_grid_shape=(160, 160, 32),
         ),
     )
     path = os.path.join(tempfile.mkdtemp(), "berlin_odom.rpl")
