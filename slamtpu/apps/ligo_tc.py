@@ -56,7 +56,10 @@ log = logging.getLogger("slamtpu.ligo_tc")
 IMU_WINDOW_CAPACITY = 64  # padded samples per scan interval (50 Hz x ~0.2 s)
 
 
-@partial(jax.jit, static_argnames=("cfg", "capacity", "min_points", "grid_shape"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "capacity", "min_points", "grid_shape", "inner_iters"),
+)
 def _ligo_step(
     kf_points,  # (K, N, 3) keyframe-window clouds, BODY frame
     kf_mask,  # (K, N) False rows disable empty slots
@@ -72,6 +75,7 @@ def _ligo_step(
     capacity: int,
     min_points: int,
     grid_shape: tuple,
+    inner_iters: int = 2,
 ):
     """One fully-fused tightly-coupled keyframe (pipeline_ligo_tc.cpp:
     429-542): preintegrate the IMU window, forward-predict, transform the
@@ -106,6 +110,7 @@ def _ligo_step(
         reg_pose=pred32,
         regmap_cache=regmap_in if grid_shape is not None else None,
         rebuild=rebuild,
+        inner_iters=inner_iters,
     )
     res, regmap = out if grid_shape is not None else (out, regmap_in)
     dt = flat.dtype
@@ -300,6 +305,7 @@ class LigoTcApp:
                 reg.map_capacity,
                 reg.min_points_per_voxel,
                 grid_shape,
+                reg.fused_inner_iters,
             )
             out = np.asarray(out, np.float64)
         if self._cadence.regmap is not None and (self._cadence._idx & 31) == 1:

@@ -56,7 +56,10 @@ def _use_fused(new_points):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "capacity", "min_points", "grid_shape", "method", "svn_cfg"),
+    static_argnames=(
+        "cfg", "capacity", "min_points", "grid_shape", "method", "svn_cfg",
+        "inner_iters",
+    ),
 )
 def _register_step(
     target_points,  # (N, 3) previous keyframe cloud, world frame
@@ -75,6 +78,7 @@ def _register_step(
     key=None,  # PRNG key, required for method == "SVNNDT"
     regmap_cache=None,  # RegMap: enables reduced-cadence rebuild (NDT_OMP only)
     rebuild=None,  # () bool: rebuild the map this call (with regmap_cache)
+    inner_iters: int = 2,  # fused-kernel Newton steps per gather
 ):
     """Build the target map and register by the configured engine — the
     analog of the reference's registration_method switch
@@ -113,7 +117,7 @@ def _register_step(
         if _use_fused(new_points) and grid_shape is not None:
             return gicp_align_fused(
                 new_points, new_mask, regmap, init_guess, cfg,
-                grid_shape, inner_iters=4,
+                grid_shape, inner_iters=inner_iters,
             )
         return gicp_align(
             new_points, new_mask, regmap, init_guess, cfg, grid_shape or (256, 256, 64)
@@ -163,7 +167,7 @@ def _register_step(
     if _use_fused(new_points):
         res = newton_align_fused(
             new_points, new_mask, regmap, init_guess, cfg, grid_shape,
-            inner_iters=4, reg_pose=reg_pose,
+            inner_iters=inner_iters, reg_pose=reg_pose,
         )
     else:
         res = newton_align_reg(
@@ -176,7 +180,7 @@ def _register_step(
     jax.jit,
     static_argnames=(
         "cfg", "capacity", "min_points", "grid_shape", "max_td", "max_rd",
-        "method", "svn_cfg",
+        "method", "svn_cfg", "inner_iters",
     ),
 )
 def _odom_step(
@@ -194,6 +198,7 @@ def _odom_step(
     method: str = "NDT_OMP",
     svn_cfg=None,
     key=None,
+    inner_iters: int = 2,
 ):
     """One fully-fused odometry keyframe (pipeline.cpp:432-592): transform
     the target cloud to its optimized world pose, build the NDT map,
@@ -216,7 +221,7 @@ def _odom_step(
     res = _register_step(
         target, prev_mask, new_points, new_mask, guess, origin,
         cfg, capacity, min_points, grid_shape,
-        method=method, svn_cfg=svn_cfg, key=key,
+        method=method, svn_cfg=svn_cfg, key=key, inner_iters=inner_iters,
     )
     blended, w = robust.deviation_gated_blend(guess, res.pose, max_td, max_rd)
     return jnp.concatenate(
@@ -390,6 +395,7 @@ class OdomNdtApp:
                     method=self.method,
                     svn_cfg=self.svn_cfg,
                     key=self._next_key(),
+                    inner_iters=self.cfg.register.fused_inner_iters,
                 ),
                 np.float64,
             )
@@ -567,7 +573,24 @@ class OdomNdtApp:
         if not self._closures:
             log.info("no loop closures found; trajectory unchanged")
             return poses, []
-        refined, _result = refine_trajectory(poses, rels, covs, self._closures)
+        # INS priors (trust-gain-scaled, like the live graph's) keep the
+        # offline re-solve anchored to the GNSS information
+        prior_poses = [
+            Pose3(jnp.asarray(e.ins_pose.rot), jnp.asarray(e.ins_pose.trans))
+            for e in self.trajectory
+        ]
+        prior_sigmas = []
+        for k, rec in enumerate(self.stats.records[: len(self.trajectory)]):
+            sig = np.asarray(rec.scaled_sigma)
+            if not (sig > 0).all():
+                sig = np.maximum(np.asarray(rec.ins_sigma), 1e-6)
+            prior_sigmas.append(np.maximum(sig, 1e-6))
+        while len(prior_sigmas) < len(self.trajectory):
+            prior_sigmas.append(np.full(6, 1e-2))
+        refined, _result = refine_trajectory(
+            poses, rels, covs, self._closures,
+            prior_poses=prior_poses, prior_sigmas=prior_sigmas,
+        )
         for e, p in zip(self.trajectory, refined):
             e.pose = Pose3(np.asarray(p.rot, np.float64), np.asarray(p.trans, np.float64))
         return refined, self._closures

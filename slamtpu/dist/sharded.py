@@ -96,6 +96,35 @@ def build_map_sharded(
     return _build(points, mask, origin)
 
 
+def _psum_newton_loop(eval_obj, pose0, dtype, max_iterations, trans_eps):
+    """Shared psum-reduced Newton loop for the sharded variants.
+
+    ``eval_obj(pose) -> (score, grad, hess)`` must already be mesh-reduced.
+    The final (score, hessian) are RE-EVALUATED at the returned pose — the
+    in-loop values belong to the pre-step pose, and callers derive the pose
+    covariance from this Hessian (same semantics as ndt.newton._newton_loop).
+    """
+
+    def cond(state):
+        _pose, it, converged = state
+        return (it < max_iterations) & (~converged)
+
+    def body(state):
+        pose, it, _conv = state
+        _score, grad, hess = eval_obj(pose)
+        step = jnp.linalg.solve(hess, -grad)
+        step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
+        norm = jnp.linalg.norm(step)
+        scale = jnp.where(norm > 1.0, 1.0 / jnp.maximum(norm, 1e-30), 1.0)
+        new_pose = se3.retract(pose, (scale * step).astype(dtype))
+        return (new_pose, it + 1, norm * scale < trans_eps)
+
+    state0 = (pose0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    pose, iters, _conv = jax.lax.while_loop(cond, body, state0)
+    score, _grad, hess = eval_obj(pose)
+    return pose, hess, score, iters
+
+
 def newton_align_sharded(
     mesh: Mesh,
     points: jax.Array,  # (N, 3) sharded over the point axis
@@ -135,29 +164,7 @@ def newton_align_sharded(
             hess = jax.lax.psum(obj.hess, axis_name) + hess_lambda * jnp.eye(6, dtype=dtype)
             return score, grad, hess
 
-        def cond(state):
-            _pose, it, converged, *_ = state
-            return (it < max_iterations) & (~converged)
-
-        def body(state):
-            pose, it, _conv, _score, _hess = state
-            score, grad, hess = eval_obj(pose)
-            step = jnp.linalg.solve(hess, -grad)
-            step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
-            norm = jnp.linalg.norm(step)
-            scale = jnp.where(norm > 1.0, 1.0 / jnp.maximum(norm, 1e-30), 1.0)
-            new_pose = se3.retract(pose, (scale * step).astype(dtype))
-            return (new_pose, it + 1, norm * scale < trans_eps, score, hess)
-
-        state0 = (
-            pose0,
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
-            jnp.asarray(0.0, dtype),
-            jnp.zeros((6, 6), dtype),
-        )
-        pose, iters, _conv, score, hess = jax.lax.while_loop(cond, body, state0)
-        return pose, hess, score, iters
+        return _psum_newton_loop(eval_obj, pose0, dtype, max_iterations, trans_eps)
 
     return _align(points, mask, gmap, init_pose)
 
@@ -181,7 +188,6 @@ def newton_align_sharded_reg(
     point shard; one psum of (score, grad, Hessian) per iteration rides ICI).
     Returns (pose, hessian, score, iterations)."""
     from ..ndt import regmap as regmap_mod
-    from ..ndt.constants import gauss_constants
 
     d1, d2, _ = gauss_constants(resolution, outlier_ratio)
     dtype = points.dtype
@@ -205,29 +211,7 @@ def newton_align_sharded_reg(
             )
             return score, grad, hess
 
-        def cond(state):
-            _pose, it, converged, *_ = state
-            return (it < max_iterations) & (~converged)
-
-        def body(state):
-            pose, it, _conv, _score, _hess = state
-            score, grad, hess = eval_obj(pose)
-            step = jnp.linalg.solve(hess, -grad)
-            step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
-            norm = jnp.linalg.norm(step)
-            scale = jnp.where(norm > 1.0, 1.0 / jnp.maximum(norm, 1e-30), 1.0)
-            new_pose = se3.retract(pose, (scale * step).astype(dtype))
-            return (new_pose, it + 1, norm * scale < trans_eps, score, hess)
-
-        state0 = (
-            pose0,
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
-            jnp.asarray(0.0, dtype),
-            jnp.zeros((6, 6), dtype),
-        )
-        pose, iters, _conv, score, hess = jax.lax.while_loop(cond, body, state0)
-        return pose, hess, score, iters
+        return _psum_newton_loop(eval_obj, pose0, dtype, max_iterations, trans_eps)
 
     return _align(points, mask, regmap, init_pose)
 
@@ -246,6 +230,7 @@ def newton_align_sharded_fused(
     trans_eps: float = 1e-4,
     hess_lambda: float = 1e-6,
     max_step_norm: float = 1.0,
+    gather_stale_frac: float = 0.25,
     axis_name: str = "data",
     block: int = None,
 ):
@@ -261,7 +246,6 @@ def newton_align_sharded_fused(
 
     d1, d2, _ = gauss_constants(resolution, outlier_ratio)
     dtype = jnp.float32
-    n_outer = -(-max_iterations // inner_iters)
     # the kernel runs on THIS mesh's devices, not the default backend (a CPU
     # test mesh on a TPU session must interpret)
     interpret = mesh.devices.flat[0].platform != "tpu"
@@ -297,21 +281,42 @@ def newton_align_sharded_fused(
 
         def cond(state):
             _pose, it, converged, *_ = state
-            return (it < n_outer) & (~converged)
+            return (it < max_iterations) & (~converged)
+
+        stale_budget = jnp.asarray(gather_stale_frac * resolution, dtype)
 
         def body(state):
             pose, it, _conv, _score, _hess = state
             megaT = gather_megaT(pts, msk, pose, rmap, grid_shape)
 
             def inner(_, carry):
-                pose_i, _n, _s, _h = carry
-                return one_step(pose_i, megaT)
+                pose_i, norm_i, s_i, h_i, moved, napp = carry
+                new_pose, stepn, s2, h2 = one_step(pose_i, megaT)
+                # staleness budget (see ndt.pallas_math.newton_align_fused);
+                # frozen steps do not count toward the iteration budget
+                ok = moved + stepn <= stale_budget
+                pose_o = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_pose, pose_i
+                )
+                return (
+                    pose_o,
+                    jnp.where(ok, stepn, norm_i),
+                    jnp.where(ok, s2, s_i),
+                    jnp.where(ok, h2, h_i),
+                    jnp.where(ok, moved + stepn, moved + stale_budget),
+                    napp + jnp.where(ok, 1, 0).astype(jnp.int32),
+                )
 
-            carry = one_step(pose, megaT)
+            pose0, norm0, s0, h0 = one_step(pose, megaT)
             if inner_iters > 1:
-                carry = jax.lax.fori_loop(0, inner_iters - 1, inner, carry)
-            pose_f, norm_f, score, hess = carry
-            return (pose_f, it + 1, norm_f < trans_eps, score, hess)
+                pose_f, norm_f, score, hess, _moved, n_applied = jax.lax.fori_loop(
+                    0, inner_iters - 1, inner,
+                    (pose0, norm0, s0, h0, norm0, jnp.asarray(1, jnp.int32)),
+                )
+            else:
+                pose_f, norm_f, score, hess = pose0, norm0, s0, h0
+                n_applied = jnp.asarray(1, jnp.int32)
+            return (pose_f, it + n_applied, norm_f < trans_eps, score, hess)
 
         state0 = (
             se3.cast(pose0, dtype),
@@ -320,8 +325,19 @@ def newton_align_sharded_fused(
             jnp.asarray(0.0, dtype),
             jnp.zeros((6, 6), dtype),
         )
-        pose, outers, _conv, score, hess = jax.lax.while_loop(cond, body, state0)
-        return pose, hess, score, outers * inner_iters
+        pose, iters, _conv, _score, _hess = jax.lax.while_loop(cond, body, state0)
+        # re-evaluate at the RETURNED pose (the loop's values belong to the
+        # pre-step pose; callers build the pose covariance from this Hessian)
+        megaT = gather_megaT(pts, msk, pose, rmap, grid_shape)
+        obj = fused_objective(
+            ptsT, megaT, pose, d1, d2, hess_lambda=0.0, block=block,
+            interpret=interpret,
+        )
+        score = jax.lax.psum(obj.score, axis_name)
+        hess = jax.lax.psum(obj.hess, axis_name) + hess_lambda * jnp.eye(
+            6, dtype=dtype
+        )
+        return pose, hess, score, iters
 
     return _align(points, mask, regmap, init_pose)
 

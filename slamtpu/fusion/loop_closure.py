@@ -140,9 +140,19 @@ def refine_trajectory(
     odometry_rels: List[Pose3],
     odometry_covs: List[np.ndarray],
     closures: List[LoopClosure],
-    cfg: pg.PoseGraphConfig = pg.PoseGraphConfig(),
+    cfg: pg.PoseGraphConfig = pg.PoseGraphConfig(huber_delta=2.0),
+    prior_poses: List[Pose3] = None,
+    prior_sigmas: List[np.ndarray] = None,
 ):
-    """Batch pose-graph optimization over odometry + loop-closure factors."""
+    """Batch pose-graph optimization over odometry + loop-closure factors.
+
+    ``prior_poses``/``prior_sigmas`` (optional, per node) add absolute pose
+    priors — the INS priors the reference's live iSAM2 graph carries
+    (run/pipeline.cpp:637-665). Without them the offline re-solve discards
+    the GNSS/INS information and its optimum reverts to raw odometry-chain
+    quality. The default config enables a Huber kernel at 2 sigma: an
+    imperfect closure is downweighted instead of distorting the whole
+    trajectory."""
     N = len(poses)
     stack = Pose3(
         jnp.stack([p.rot for p in poses]), jnp.stack([p.trans for p in poses])
@@ -155,8 +165,19 @@ def refine_trajectory(
         jnp.stack([r.rot for r in rels]), jnp.stack([r.trans for r in rels])
     )
     si = jnp.stack([sqrt_info_from_cov(jnp.asarray(c)) for c in covs])
+    prior = None
+    psi = None
+    if prior_poses is not None:
+        prior = Pose3(
+            jnp.stack([p.rot for p in prior_poses]),
+            jnp.stack([p.trans for p in prior_poses]),
+        )
+        psi = jnp.stack(
+            [jnp.diag(1.0 / jnp.asarray(s, stack.trans.dtype)) for s in prior_sigmas]
+        )
     graph = pg.make_graph(
-        stack, jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32), rel, si
+        stack, jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32), rel, si,
+        prior=prior, prior_sqrt_info=psi,
     )
     result = pg.optimize(graph, cfg)
     return [Pose3(result.poses.rot[k], result.poses.trans[k]) for k in range(N)], result

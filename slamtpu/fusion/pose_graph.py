@@ -30,6 +30,14 @@ class PoseGraph(NamedTuple):
     sqrt_info: jax.Array  # (F, 6, 6)
     active: jax.Array  # (F,) bool
     anchored: jax.Array  # (N,) bool — nodes pinned at current value
+    # optional per-node absolute pose priors (e.g. the INS priors the
+    # reference's iSAM2 graph carries, run/pipeline.cpp:637-665 — without
+    # them an offline re-solve discards the GNSS information and reverts to
+    # raw odometry-chain quality)
+    prior_rot: jax.Array  # (N, 3, 3)
+    prior_trans: jax.Array  # (N, 3)
+    prior_sqrt_info: jax.Array  # (N, 6, 6)
+    prior_active: jax.Array  # (N,) bool
 
     @property
     def num_nodes(self) -> int:
@@ -41,6 +49,11 @@ class PoseGraphConfig(NamedTuple):
     cg_iterations: int = 50
     damping: float = 1e-6
     anchor_weight: float = 1e6
+    # Huber robust kernel on the whitened factor residual norm (IRLS):
+    # factors beyond ``huber_delta`` sigmas are downweighted by delta/|r|,
+    # so a single bad loop closure cannot blow the graph apart (GTSAM's
+    # robust noise-model parity). <= 0 disables.
+    huber_delta: float = 0.0
 
 
 class PoseGraphResult(NamedTuple):
@@ -77,6 +90,24 @@ def _linearize(graph: PoseGraph):
     )
 
 
+def _linearize_priors(graph: PoseGraph):
+    """Per-node prior residuals (N, 6) and Jacobians (N, 6, 6)."""
+
+    def r_of(d, k):
+        pk = se3.retract(
+            Pose3(graph.poses.rot[k], graph.poses.trans[k]), d
+        )
+        prior = Pose3(graph.prior_rot[k], graph.prior_trans[k])
+        return graph.prior_sqrt_info[k] @ se3.local(prior, pk)
+
+    zero = jnp.zeros(6, dtype=graph.poses.trans.dtype)
+    ks = jnp.arange(graph.num_nodes)
+    r = jax.vmap(lambda k: r_of(zero, k))(ks)
+    J = jax.vmap(lambda k: jax.jacfwd(lambda d: r_of(d, k))(zero))(ks)
+    m = graph.prior_active[:, None]
+    return jnp.where(m, r, 0.0), jnp.where(m[..., None], J, 0.0)
+
+
 def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> PoseGraphResult:
     N = graph.num_nodes
     dtype = graph.poses.trans.dtype
@@ -86,12 +117,26 @@ def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> Pose
         g = graph._replace(poses=poses)
         r, Ji, Jj = _linearize(g)
 
-        # gradient: b = J^T r scattered to nodes
+        if cfg.huber_delta > 0.0:
+            # IRLS: scale residuals and Jacobians by sqrt(w), w = Huber weight
+            rn = jnp.linalg.norm(r, axis=-1)
+            w = jnp.where(
+                rn > cfg.huber_delta, cfg.huber_delta / jnp.maximum(rn, 1e-30), 1.0
+            )
+            sw = jnp.sqrt(w)
+            r = r * sw[:, None]
+            Ji = Ji * sw[:, None, None]
+            Jj = Jj * sw[:, None, None]
+
+        rp, Jp = _linearize_priors(g)
+
+        # gradient: b = J^T r scattered to nodes (+ per-node prior terms)
         bi = jnp.einsum("fab,fa->fb", Ji, r)
         bj = jnp.einsum("fab,fa->fb", Jj, r)
         b = jax.ops.segment_sum(bi, g.i, num_segments=N) + jax.ops.segment_sum(
             bj, g.j, num_segments=N
         )
+        b = b + jnp.einsum("nab,na->nb", Jp, rp)
 
         # block-Jacobi preconditioner from diagonal 6x6 blocks
         Dii = jnp.einsum("fab,fac->fbc", Ji, Ji)
@@ -99,6 +144,7 @@ def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> Pose
         D = jax.ops.segment_sum(Dii, g.i, num_segments=N) + jax.ops.segment_sum(
             Djj, g.j, num_segments=N
         )
+        D = D + jnp.einsum("nab,nac->nbc", Jp, Jp)
         D = D + (cfg.damping + anchor[..., None]) * jnp.eye(6, dtype=dtype)
         P = jnp.linalg.inv(D)
 
@@ -111,6 +157,8 @@ def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> Pose
             y = jax.ops.segment_sum(yi, g.i, num_segments=N) + jax.ops.segment_sum(
                 yj, g.j, num_segments=N
             )
+            up = jnp.einsum("nab,nb->na", Jp, x)
+            y = y + jnp.einsum("nab,na->nb", Jp, up)
             return y + (cfg.damping + anchor) * x
 
         def papply(v):
@@ -139,7 +187,7 @@ def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> Pose
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         delta = jnp.where(graph.anchored[:, None], 0.0, delta)
         new_poses = se3.retract(poses, delta)
-        return new_poses, jnp.sum(r * r)
+        return new_poses, jnp.sum(r * r) + jnp.sum(rp * rp)
 
     poses, errs = jax.lax.scan(gn_step, graph.poses, None, length=cfg.gn_iterations)
     final_r, _, _ = _linearize(graph._replace(poses=poses))
@@ -154,12 +202,27 @@ def make_graph(
     sqrt_info: jax.Array,
     active=None,
     anchored=None,
+    prior: Pose3 = None,
+    prior_sqrt_info: jax.Array = None,
+    prior_active=None,
 ) -> PoseGraph:
     N = poses.trans.shape[0]
     F = i.shape[0]
+    dtype = poses.trans.dtype
     if active is None:
         active = jnp.ones((F,), bool)
     if anchored is None:
         anchored = jnp.zeros((N,), bool).at[0].set(True)
+    if prior is None:
+        prior = Pose3(
+            jnp.broadcast_to(jnp.eye(3, dtype=dtype), (N, 3, 3)),
+            jnp.zeros((N, 3), dtype),
+        )
+        prior_sqrt_info = jnp.zeros((N, 6, 6), dtype)
+        prior_active = jnp.zeros((N,), bool)
+    else:
+        if prior_active is None:
+            prior_active = jnp.ones((N,), bool)
     return PoseGraph(poses, i.astype(jnp.int32), j.astype(jnp.int32), rel.rot,
-                     rel.trans, sqrt_info, active, anchored)
+                     rel.trans, sqrt_info, active, anchored,
+                     prior.rot, prior.trans, prior_sqrt_info, prior_active)

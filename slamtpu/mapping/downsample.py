@@ -30,10 +30,13 @@ def voxel_downsample(
 ):
     """Centroid-per-voxel downsample over a padded point buffer.
 
-    Returns (centroids (capacity, 3), out_mask (capacity,)); slots beyond
-    the number of occupied voxels are masked out and hold zeros. Voxels
-    outside the [0, GRID_DIM)^3 key range around ``origin`` are dropped
-    (match the fixed-capacity map convention, not PCL's unbounded grid).
+    Returns (centroids (capacity, 3), out_mask (capacity,), overflow ())
+    where ``overflow`` counts distinct occupied voxels dropped for capacity
+    (the same observability contract as the map-build paths — silent
+    thinning is not acceptable at map-distribution time). Slots beyond the
+    number of occupied voxels are masked out and hold zeros. Voxels outside
+    the [0, GRID_DIM)^3 key range around ``origin`` are dropped (match the
+    fixed-capacity map convention, not PCL's unbounded grid).
     """
     finite = jnp.all(jnp.isfinite(points), axis=-1)
     keys = voxel.key_of_points(points, origin, 1.0 / jnp.asarray(resolution), mask & finite)
@@ -53,7 +56,9 @@ def voxel_downsample(
     out_mask = n > 0
     centroids = sx / jnp.maximum(n, 1).astype(spts.dtype)[:, None]
     centroids = jnp.where(out_mask[:, None], centroids, 0.0)
-    return centroids, out_mask
+    n_distinct = jnp.sum(first, dtype=jnp.int32)
+    overflow = jnp.maximum(n_distinct - capacity, 0)
+    return centroids, out_mask, overflow
 
 
 def axis_crop(points: jax.Array, mask: jax.Array, axis: int, lo, hi) -> jax.Array:

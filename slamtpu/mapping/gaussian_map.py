@@ -76,12 +76,15 @@ class GaussianMap(NamedTuple):
 def _segment_reduce(keys: jax.Array, points: jax.Array, capacity: int):
     """Sort by key and segment-sum sufficient statistics.
 
-    keys: (N,) int32 (INVALID_KEY for masked-out points); points: (N, 3).
+    keys: (N,) int32 (INVALID_KEY for masked-out points); points: (N, 3)
+    expressed RELATIVE to the map origin (see stats_from_points — absolute
+    world coordinates in float32 lose the covariance to catastrophic
+    cancellation once |p|^2 >> cov entries, i.e. a few hundred meters out).
     Returns (slot_keys, n, sx, sxx, overflow) over ``capacity`` slots.
     """
     order = jnp.argsort(keys)
     skeys = keys[order]
-    spts = points[order].astype(jnp.float32) if points.dtype == jnp.float32 else points[order]
+    spts = points[order]
     is_valid = skeys != voxel.INVALID_KEY
     first = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), skeys[1:] != skeys[:-1]]
@@ -113,10 +116,17 @@ def stats_from_points(
     """Accumulate per-voxel sufficient statistics from a padded point buffer.
 
     points: (N, 3); mask: (N,) bool marking real (non-padding, finite) points.
+
+    Sufficient statistics accumulate ORIGIN-RELATIVE coordinates: in float32,
+    absolute sums lose the voxel covariance (cov = E[xx] - E[x]E[x] cancels
+    catastrophically once |p| reaches a few hundred meters). ``finalize``
+    adds the origin back to the means; covariances are translation-invariant.
     """
     finite = jnp.all(jnp.isfinite(points), axis=-1)
     keys = voxel.key_of_points(points, origin, 1.0 / resolution, mask & finite)
-    slot_keys, n, sx, sxx, overflow = _segment_reduce(keys, points, capacity)
+    rel = points - origin.astype(points.dtype)[None, :]
+    rel = jnp.where(finite[:, None], rel, 0.0)  # NaN/Inf must not poison sums
+    slot_keys, n, sx, sxx, overflow = _segment_reduce(keys, rel, capacity)
     return VoxelStats(slot_keys, n, sx, sxx, origin, jnp.asarray(resolution), overflow)
 
 
@@ -166,8 +176,11 @@ def finalize(
     min_points_per_voxel = max(min_points_per_voxel, 3)
     n = stats.n
     nf = jnp.maximum(n, 1).astype(stats.sx.dtype)
-    mean = stats.sx / nf[:, None]
-    cov = stats.sxx / nf[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    # stats are origin-relative (see stats_from_points); covariance is
+    # translation-invariant, the mean shifts back to world coordinates
+    rel_mean = stats.sx / nf[:, None]
+    mean = rel_mean + stats.origin.astype(stats.sx.dtype)[None, :]
+    cov = stats.sxx / nf[:, None, None] - rel_mean[:, :, None] * rel_mean[:, None, :]
     bessel = nf / jnp.maximum(nf - 1.0, 1.0)
     cov = cov * bessel[:, None, None]
 

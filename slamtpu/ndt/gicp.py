@@ -54,6 +54,9 @@ def score_grad_hess_gicp(
     inactive and the knob only bites when tightened below that.
     Expects a RegMap built from ``gicp_map(...)``.
     """
+    from .objective import sanitize_points
+
+    points, mask = sanitize_points(points, mask)
     tp, mu, icov, active = regmap_mod.gather_pair_data(
         points, mask, pose, regmap, grid_shape
     )

@@ -39,6 +39,11 @@ def build_pyramid(
     """Build a map pyramid (coarse -> fine) from one target cloud."""
     resolutions = sorted(resolutions, reverse=True)
     iters = max_iterations or [10] * (len(resolutions) - 1) + [20]
+    if len(iters) != len(resolutions):
+        raise ValueError(
+            f"max_iterations has {len(iters)} entries for {len(resolutions)} "
+            "resolutions — zip truncation would silently drop pyramid levels"
+        )
     levels = []
     for res, it in zip(resolutions, iters):
         gmap = gaussian_map.build_map(

@@ -40,6 +40,16 @@ class NewtonConfig(NamedTuple):
     # is unverifiable here — the submodule content is absent from the
     # reference snapshot — so the per-pair weighting is our definition.)
     reg_weight: float = 0.0
+    # fused path: cumulative motion since the last mega-row gather at which
+    # inner-step reuse freezes and the next outer iteration re-gathers, as a
+    # fraction of the resolution. Small values are safest on maps with thin
+    # high-certainty voxels (staleness flips their pull); larger values cut
+    # gather counts on benign maps. One voxel is the default: DIRECT7's +-1
+    # neighbor window absorbs a single-cell misassignment, and the bench
+    # accuracy gates arbitrate (measured: 0.25 costs ~30%% of throughput for
+    # ~1 mm on the headline; hard scenes are governed by the applied-step
+    # iteration budget and the apps' inner_iters=2 default instead).
+    gather_stale_frac: float = 1.0
     # GICP engine only: Euclidean correspondence-distance gate in meters
     # (the reference's gicp_corr_dist_threshold; voxel correspondences are
     # <= ~1.5x resolution away, so the 5 m default is inactive by design)

@@ -47,6 +47,17 @@ class NdtObjective(NamedTuple):
     n_contrib: jax.Array  # () int32: point-neighbor pairs that contributed
 
 
+def sanitize_points(points, mask):
+    """Drop non-finite points from the mask AND zero their coordinates.
+
+    Masking alone is not enough: a NaN coordinate propagates through the
+    einsum reductions as 0 * NaN = NaN even when its pair weight is zero,
+    silently poisoning the gradient (and the zeroed Newton step then reads
+    as "converged" at the initial pose)."""
+    finite = jnp.all(jnp.isfinite(points), axis=-1)
+    return jnp.where(finite[:, None], points, 0.0), mask & finite
+
+
 def _pair_terms(points, mask, pose: Pose3, gmap: GaussianMap, d1, d2, offsets):
     """Shared gather + per-pair weights.
 
@@ -54,6 +65,7 @@ def _pair_terms(points, mask, pose: Pose3, gmap: GaussianMap, d1, d2, offsets):
     tp: (N,3) transformed points; xrel: (N,K,3); icov: (N,K,3,3);
     icx = icov @ xrel; factor/score_pairs: (N,K); active: (N,K) bool.
     """
+    points, mask = sanitize_points(points, mask)
     dtype = points.dtype
     tp = se3.transform_points(pose, points)  # (N, 3)
     inv_res = (1.0 / gmap.resolution).astype(dtype)
@@ -130,6 +142,7 @@ def score_grad_hess(
       grad = sum_n J_n^T b_n ;  hess = sum_n J_n^T M_n J_n
     which turns the hot reduction into two big einsums on (N,3,*) tensors.
     """
+    points, mask = sanitize_points(points, mask)
     tp, xrel, icov, icx, factor, score_pairs, ok = _pair_terms(
         points, mask, pose, gmap, d1, d2, offsets
     )

@@ -171,24 +171,13 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref, *, gicp: bool):
 
 
 def gather_megaT(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
-    """XLA side: voxel assignment + mega-row gather -> (96, N) float32."""
-    gx, gy, gz = grid_shape
-    n_cells = gx * gy * gz
-    tp = se3.transform_points(pose, points)
-    inv_res = (1.0 / regmap.resolution).astype(points.dtype)
-    org = regmap.origin.astype(points.dtype)
-    from ..mapping import voxel as voxel_mod
+    """XLA side: voxel assignment + mega-row gather -> (96, N) float32.
 
-    coords = voxel_mod.coords_of(tp, org, inv_res)
-    rel = coords - regmap.bbox_min[None, :]
-    inb = (
-        mask
-        & (rel[:, 0] >= 0) & (rel[:, 0] < gx)
-        & (rel[:, 1] >= 0) & (rel[:, 1] < gy)
-        & (rel[:, 2] >= 0) & (rel[:, 2] < gz)
-    )
-    flat = jnp.where(inb, (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2], n_cells)
-    drow = regmap.grid[flat]
+    Index resolution is shared with the XLA objective (regmap.point_rows) so
+    the fused and gathered paths cannot drift."""
+    from .regmap import point_rows
+
+    _tp, drow = point_rows(points, mask, pose, regmap, grid_shape)
     return regmap.packed[drow].T.astype(jnp.float32)  # (96, N)
 
 
@@ -253,7 +242,10 @@ def score_grad_hess_fused(
     hess_lambda: float = 1e-6,
 ) -> NdtObjective:
     """XLA gathers + Pallas fused pair math. float32 only (device path)."""
+    from .objective import sanitize_points
+
     assert points.shape[0] % BLOCK == 0, f"N must be a multiple of {BLOCK}"
+    points, mask = sanitize_points(points, mask)
     megaT = gather_megaT(points, mask, pose, regmap, grid_shape)
     return fused_objective(points.T.astype(jnp.float32), megaT, pose, d1, d2, hess_lambda)
 
@@ -296,10 +288,21 @@ def newton_align_fused(
     assignments change negligibly between steps once the pose is within a
     fraction of the resolution — the same approximation as SVN shared-gather),
     cutting the gather-bound cost accordingly. ``inner_iters=1`` is exact
-    DIRECT7 per step.
+    DIRECT7 per step. A STALENESS BUDGET guards the reuse: once the
+    cumulative step length since the gather exceeds a quarter of the voxel
+    size, further inner steps freeze and the next outer iteration re-gathers
+    — unbudgeted reuse walked registrations into wrong-neighbor basins on
+    maps with thin far-range voxels (measured 0.005 -> 0.144 m at a 0.3 m
+    initial offset with inner_iters=4).
 
     ``reg_pose`` (with ``cfg.reg_weight > 0``) adds the prior-pose
     regularization penalty to each step (NewtonConfig.reg_weight).
+
+    Note: the returned (score, hessian) are evaluated at the pose BEFORE the
+    final retract — within ``trans_eps`` of the returned pose once converged
+    (the non-fused ``newton_align`` re-evaluates instead; here the extra
+    gather+kernel launch would cost ~10% of the registration, and the apps
+    consume the Hessian only as a converged-pose covariance).
     """
     from .constants import gauss_constants
     from .newton import NewtonResult, regularize_step
@@ -310,8 +313,12 @@ def newton_align_fused(
         # gate in GICP mode (gicp_corr_dist_threshold analog)
         d2 = float(cfg.gicp_max_corr_dist) ** 2
     dtype = jnp.float32
+    from .objective import sanitize_points
+
+    # a NaN coordinate would poison the kernel's b/grad accumulators via
+    # 0 * NaN even with a zero pair weight — zero it and drop it from the mask
+    points, mask = sanitize_points(points, mask)
     ptsT = points.T.astype(dtype)
-    n_outer = -(-cfg.max_iterations // inner_iters)
 
     def one_step(pose, megaT):
         obj = fused_objective(
@@ -333,26 +340,48 @@ def newton_align_fused(
 
     def cond(state):
         _pose, it, converged, *_ = state
-        return (it < n_outer) & (~converged)
+        return (it < cfg.max_iterations) & (~converged)
+
+    stale_budget = jnp.asarray(cfg.gather_stale_frac * cfg.resolution, dtype)
 
     def body(state):
         pose, it, conv, score, hess, nc = state
         megaT = gather_megaT(points, mask, pose, regmap, grid_shape)
 
         def inner(_, carry):
-            pose_i, _norm, _obj = carry
-            return one_step(pose_i, megaT)
+            pose_i, norm_i, obj_i, moved, napp = carry
+            new_pose, stepn, obj2 = one_step(pose_i, megaT)
+            # staleness budget: freeze once the pose has moved a quarter
+            # eighth of a voxel... (the next outer iteration re-gathers);
+            # frozen steps do NOT count toward the iteration budget
+            ok = moved + stepn <= stale_budget
+            pose_o = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_pose, pose_i
+            )
+            obj_o = jax.tree.map(lambda n, o: jnp.where(ok, n, o), obj2, obj_i)
+            return (
+                pose_o,
+                jnp.where(ok, stepn, norm_i),
+                obj_o,
+                jnp.where(ok, moved + stepn, moved + stale_budget),
+                napp + jnp.where(ok, 1, 0).astype(jnp.int32),
+            )
 
         pose0, norm0, obj0 = one_step(pose, megaT)
-        pose_f, norm_f, obj_f = jax.lax.fori_loop(
-            0, inner_iters - 1, inner, (pose0, norm0, obj0)
-        ) if inner_iters > 1 else (pose0, norm0, obj0)
+        if inner_iters > 1:
+            pose_f, norm_f, obj_f, _moved, n_applied = jax.lax.fori_loop(
+                0, inner_iters - 1, inner,
+                (pose0, norm0, obj0, norm0, jnp.asarray(1, jnp.int32)),
+            )
+        else:
+            pose_f, norm_f, obj_f = pose0, norm0, obj0
+            n_applied = jnp.asarray(1, jnp.int32)
         converged = norm_f < cfg.trans_eps
         # freeze once converged: under vmap (newton_align_fused_batch) the
         # lockstep while keeps executing body for finished lanes — their
         # state must not move, or batched results diverge from unbatched
-        out = (pose_f, it + 1, conv | converged, obj_f.score, obj_f.hess,
-               obj_f.n_contrib)
+        out = (pose_f, it + n_applied, conv | converged, obj_f.score,
+               obj_f.hess, obj_f.n_contrib)
         old = (pose, it, conv, score, hess, nc)
         return jax.tree.map(lambda n, o: jnp.where(conv, o, n), out, old)
 
@@ -364,8 +393,8 @@ def newton_align_fused(
         jnp.zeros((6, 6), dtype),
         jnp.asarray(0, jnp.int32),
     )
-    pose, outers, converged, score, hess, nc = jax.lax.while_loop(cond, body, init_state)
-    return NewtonResult(pose, hess, score, outers * inner_iters, converged, nc)
+    pose, iters, converged, score, hess, nc = jax.lax.while_loop(cond, body, init_state)
+    return NewtonResult(pose, hess, score, iters, converged, nc)
 
 
 def newton_align_fused_batch(

@@ -197,16 +197,27 @@ def empty_regmap(
     )
 
 
-def gather_pair_data(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
-    """The per-point voxel gather: (mu (N,7,3), icov (N,7,3,3), active (N,7)).
+def point_rows(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
+    """Dense-grid lookup shared by every RegMap consumer: (tp (N,3),
+    drow (N,) int32 dilated row per point, sentinel D for masked/out-of-grid).
 
-    Separated from the math so SVN can gather ONCE at the mean pose and reuse
-    the Gaussians for all particles (their spread is << resolution)."""
+    This is the SINGLE implementation of the RegMap indexing contract
+    (bbox rebase, flat-index formula, sentinel conventions) — the fused
+    kernel's gather (pallas_math.gather_megaT) and the XLA objective both
+    route through it, so they cannot drift apart."""
     gx, gy, gz = grid_shape
     n_cells = gx * gy * gz
-    N = points.shape[0]
-    dtype = points.dtype
+    # RegMap does not carry its (static) grid shape; a mismatched tuple maps
+    # points to the wrong grid rows SILENTLY. This catches size mismatches at
+    # trace time (a permutation with equal product remains the caller's duty).
+    assert n_cells + 1 == regmap.grid.shape[0], (
+        f"grid_shape {grid_shape} does not match the RegMap's grid "
+        f"({regmap.grid.shape[0] - 1} cells) — pass the build-time tuple"
+    )
+    from .objective import sanitize_points
 
+    dtype = points.dtype
+    points, mask = sanitize_points(points, mask)
     tp = se3.transform_points(pose, points)  # (N, 3)
     inv_res = (1.0 / regmap.resolution).astype(dtype)
     coords = voxel.coords_of(tp, regmap.origin.astype(dtype), inv_res)
@@ -218,7 +229,16 @@ def gather_pair_data(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
         & (rel[:, 2] >= 0) & (rel[:, 2] < gz)
     )
     flat = jnp.where(inb, (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2], n_cells)
-    drow = regmap.grid[flat]  # (N,)
+    return tp, regmap.grid[flat]
+
+
+def gather_pair_data(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
+    """The per-point voxel gather: (mu (N,7,3), icov (N,7,3,3), active (N,7)).
+
+    Separated from the math so SVN can gather ONCE at the mean pose and reuse
+    the Gaussians for all particles (their spread is << resolution)."""
+    N = points.shape[0]
+    tp, drow = point_rows(points, mask, pose, regmap, grid_shape)
     mega = regmap.packed[drow]  # (N, 96) — the ONE payload gather per point
     fields = mega[:, : 7 * 12].reshape(N, 7, 12)
     mu = fields[..., 0:3]
@@ -260,6 +280,9 @@ def score_grad_hess_gathered(
     """NDT objective against pre-gathered Gaussians (SVN shared-gather path:
     neighbor sets come from the mean pose; contributions use this pose's
     exact transform)."""
+    from .objective import sanitize_points
+
+    points, _ = sanitize_points(points, jnp.ones(points.shape[0], bool))
     tp = se3.transform_points(pose, points)
     icx, factor, score_pairs, ok, _mahal = _pair_math(tp, mu, icov, active_slot, d1, d2)
     J = point_jacobian(points, pose)
@@ -285,6 +308,9 @@ def score_grad_hess_reg(
 ) -> NdtObjective:
     """Fused NDT objective on the RegMap layout (DIRECT7 semantics; parity
     with objective.score_grad_hess is tested in tests/test_regmap.py)."""
+    from .objective import sanitize_points
+
+    points, mask = sanitize_points(points, mask)
     tp, icov, icx, factor, score_pairs, ok, _mahal, _act = _pair_terms_reg(
         points, mask, pose, regmap, d1, d2, grid_shape
     )

@@ -54,6 +54,7 @@ _EXTENSION_KEYS = {
     "use_regmap",
     "reg_grid_shape",
     "map_rebuild_every",
+    "fused_inner_iters",
 }
 
 
@@ -92,6 +93,11 @@ class RegisterConfig:
     # per-keyframe setInputTarget; higher trades <=N-1 keyframes of target
     # staleness for amortizing the ~66 ms Berlin-scale map+RegMap build)
     map_rebuild_every: int = 1
+    # Newton steps per mega-row gather in the fused kernel (a staleness
+    # budget also re-gathers after an eighth-voxel of motion). 1 = exact
+    # DIRECT7 per step; 2 halves the gather cost at negligible accuracy
+    # loss; larger values trade convergence rate on hard scenes
+    fused_inner_iters: int = 2
 
     @classmethod
     def from_json(cls, obj: dict) -> "RegisterConfig":
@@ -159,6 +165,9 @@ class RegisterConfig:
             reg_grid_shape=tuple(p.get("reg_grid_shape", defaults.reg_grid_shape)),
             map_rebuild_every=int(
                 p.get("map_rebuild_every", defaults.map_rebuild_every)
+            ),
+            fused_inner_iters=int(
+                p.get("fused_inner_iters", defaults.fused_inner_iters)
             ),
         )
 

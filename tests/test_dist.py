@@ -178,7 +178,10 @@ class TestShardedFused:
         np.testing.assert_allclose(
             np.asarray(pose.trans), np.asarray(ref.pose.trans), atol=5e-3
         )
-        np.testing.assert_allclose(float(score), float(ref.score), rtol=1e-3)
+        # the sharded path re-evaluates (score, hess) at the RETURNED pose;
+        # the single-chip fused path reports the pre-retract values — at the
+        # slightly different final poses the scores agree only to ~0.5%
+        np.testing.assert_allclose(float(score), float(ref.score), rtol=7e-3)
 
 
 class TestBatchAlignSharded:

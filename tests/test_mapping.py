@@ -123,6 +123,32 @@ class TestGaussianMap:
         np.testing.assert_allclose(np.asarray(merged.sx), np.asarray(joint.sx), atol=1e-9)
         np.testing.assert_allclose(np.asarray(merged.sxx), np.asarray(joint.sxx), atol=1e-8)
 
+    def test_far_from_origin_float32_covariance(self):
+        """Voxel covariance must survive float32 accumulation kilometers from
+        the world origin: absolute-coordinate sums cancel catastrophically
+        (|p|^2 ~ 5e7 vs cov ~ 0.08), origin-relative sums do not."""
+        c = np.float32([5000.5, 5000.5, 100.5])
+        offs = np.array(
+            [
+                [0.3, 0.0, 0.0], [-0.3, 0.0, 0.0],
+                [0.0, 0.3, 0.0], [0.0, -0.3, 0.0],
+                [0.3, 0.3, 0.0], [-0.3, -0.3, 0.0],
+                [0.3, -0.3, 0.0], [-0.3, 0.3, 0.0],
+            ],
+            np.float32,
+        )
+        pts = jnp.asarray(c + offs)  # float32 end-to-end
+        origin = jnp.asarray(np.floor(c) - 2.0, jnp.float32)
+        stats = gaussian_map.stats_from_points(
+            pts, jnp.ones(8, bool), origin, jnp.asarray(1.0, jnp.float32), 4
+        )
+        gmap = gaussian_map.finalize(stats, min_points_per_voxel=3)
+        v = int(jnp.argmax(gmap.valid))
+        assert bool(gmap.valid[v])
+        np.testing.assert_allclose(np.asarray(gmap.mean[v]), c, atol=1e-3)
+        lit = np.diag([0.54 / 7, 0.54 / 7, 0.01 * 0.54 / 7])
+        np.testing.assert_allclose(np.asarray(gmap.cov[v]), lit, atol=2e-4)
+
     def test_overflow_reported(self):
         pts = RNG.uniform(0, 100, size=(4000, 3))
         mask = np.ones(4000, bool)
@@ -183,10 +209,16 @@ class TestDownsample:
 
         pts, mask = make_cloud(3000)
         origin = np.zeros(3) - 50.0
-        cents, out_mask = jax.jit(
+        cents, out_mask, ovf = jax.jit(
             voxel_downsample, static_argnames=("capacity",)
         )(jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(origin), 1.0, capacity=2048)
         cents, out_mask = np.asarray(cents), np.asarray(out_mask)
+        assert int(ovf) == 0
+        # capacity pressure must be counted, not silent
+        _, _, ovf2 = jax.jit(
+            voxel_downsample, static_argnames=("capacity",)
+        )(jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(origin), 1.0, capacity=16)
+        assert int(ovf2) > 0
         # oracle: group by voxel, mean
         ok = mask & np.isfinite(pts).all(-1)
         coords = np.floor((pts[ok] - origin) / 1.0).astype(np.int64)

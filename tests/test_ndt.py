@@ -143,6 +143,65 @@ class TestNewton:
         assert np.isfinite(cov).all()
 
 
+class TestNonFinitePoints:
+    def test_nan_point_does_not_poison_gradient(self, fixture):
+        """A single NaN coordinate must neither poison the gradient
+        (0 * NaN = NaN survives masking in einsum reductions) nor change the
+        result vs dropping the point from the mask."""
+        from slamtpu.ndt import build_regmap, score_grad_hess_reg
+        from slamtpu.ndt.objective import score_grad_hess as sgh
+
+        _, _, gmap, _, source, mask_s = fixture
+        d1, d2, _ = gauss_constants(RES, OUTLIER)
+        pose = se3.identity(dtype=jnp.float64)
+        bad = np.array(source, np.float64)
+        bad[7] = np.nan
+        bad[23, 1] = np.inf
+        clean_mask = np.array(mask_s)
+        clean_mask[[7, 23]] = False
+
+        ref = sgh(jnp.asarray(source), jnp.asarray(clean_mask), pose, gmap, d1, d2)
+        got = sgh(jnp.asarray(bad), jnp.asarray(mask_s), pose, gmap, d1, d2)
+        assert np.isfinite(np.asarray(got.grad)).all()
+        assert np.isfinite(np.asarray(got.hess)).all()
+        np.testing.assert_allclose(np.asarray(got.grad), np.asarray(ref.grad), atol=1e-9)
+        np.testing.assert_allclose(float(got.score), float(ref.score), atol=1e-9)
+
+        regmap = build_regmap(gmap, grid_shape=(64, 64, 32))
+        got_r = score_grad_hess_reg(
+            jnp.asarray(bad), jnp.asarray(mask_s), pose, regmap, d1, d2, (64, 64, 32)
+        )
+        assert np.isfinite(np.asarray(got_r.grad)).all()
+        np.testing.assert_allclose(
+            np.asarray(got_r.grad), np.asarray(ref.grad), atol=1e-6
+        )
+
+    def test_fused_kernel_nan_point(self, fixture):
+        from slamtpu.ndt import build_regmap
+        from slamtpu.ndt.pallas_math import BLOCK, score_grad_hess_fused
+
+        _, _, gmap, _, source, mask_s = fixture
+        d1, d2, _ = gauss_constants(RES, OUTLIER)
+        n = len(source)
+        n_pad = -(-n // BLOCK) * BLOCK
+        pts = np.zeros((n_pad, 3), np.float32)
+        pts[:n] = source
+        pts[5] = np.nan
+        mask = np.zeros(n_pad, bool)
+        mask[:n] = True
+        regmap = build_regmap(gmap, grid_shape=(64, 64, 32))
+        regmap32 = jax.tree.map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, regmap
+        )
+        obj = score_grad_hess_fused(
+            jnp.asarray(pts), jnp.asarray(mask), se3.identity(dtype=jnp.float32),
+            regmap32, d1, d2, (64, 64, 32),
+        )
+        assert np.isfinite(float(obj.score))
+        assert np.isfinite(np.asarray(obj.grad)).all()
+        assert np.isfinite(np.asarray(obj.hess)).all()
+
+
 class TestPoseRegularization:
     """Prior-pose penalty (the ndt_omp setRegularizationPose analog). The
     score is MAXIMIZED (H negative definite), so the penalty must SUBTRACT

@@ -237,13 +237,16 @@ class TestMultiRes:
         levels = build_pyramid(
             jnp.asarray(target), jnp.ones(len(target), bool), origin,
             resolutions=[4.0, 1.0], capacity=2048, grid_shape=GRID,
-            min_points_per_voxel=4,
+            min_points_per_voxel=4, max_iterations=[15, 25],
         )
         far_init = se3.retract(gt, jnp.asarray([0.05, -0.05, 0.1, 1.8, -1.2, 0.4]))
         res = multires_align(jnp.asarray(source), jnp.ones(len(source), bool),
                              levels, far_init)
         err = np.asarray(se3.local(gt, res.pose))
-        assert np.linalg.norm(err[3:]) < 0.08, err
+        # translation along the plane-intersection line (body-y) is a gauge
+        # direction of the two-plane fixture (see TestRegMapParity's SVN
+        # cases); assert the constrained axes
+        assert abs(err[3]) < 0.08 and abs(err[5]) < 0.08, err
         assert np.linalg.norm(err[:3]) < 0.05, err
         # fine-only from the same far init fails (documents the basin gain)
         fine_only = newton_align_reg(
