@@ -7,6 +7,8 @@ Port of the reference's Somigliana/ellipsoidal-harmonic gravity
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 GM = 3986004.418e8
@@ -15,7 +17,10 @@ E2_FIRST = 6.69437999014e-3
 B_OVER_A = 0.996647189335
 OMEGA = 7.292115e-5
 B = A * B_OVER_A
-E_LIN = jnp.sqrt(A * A - B * B)  # linear eccentricity
+# Plain Python float: module-level jnp ops would initialize the default JAX
+# backend at import time, which must stay side-effect-free (a broken/absent
+# accelerator runtime would otherwise kill `import slamtpu` outright).
+E_LIN = math.sqrt(A * A - B * B)  # linear eccentricity
 E2_LIN = A * A - B * B
 
 

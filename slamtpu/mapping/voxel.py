@@ -18,9 +18,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 GRID_DIM = 1024  # voxels per axis; 1024^3 = 2^30 fits int32
-INVALID_KEY = jnp.iinfo(jnp.int32).max  # sorts to the end
+INVALID_KEY = np.iinfo(np.int32).max  # sorts to the end
 
 
 def coords_of(points: jax.Array, origin: jax.Array, inv_resolution: jax.Array) -> jax.Array:
@@ -77,8 +78,10 @@ def lookup(sorted_keys: jax.Array, query_keys: jax.Array):
 
 
 # DIRECT7 neighbor offsets: center + 6 face neighbors
-# (/root/reference/extern/svn_ndt/include/voxel_grid_covariance_impl.hpp:559-600)
-DIRECT7_OFFSETS = jnp.array(
+# (/root/reference/extern/svn_ndt/include/voxel_grid_covariance_impl.hpp:559-600).
+# Kept as numpy so importing this module never touches a JAX backend; they are
+# converted to device arrays lazily at trace time wherever they are consumed.
+DIRECT7_OFFSETS = np.array(
     [
         [0, 0, 0],
         [1, 0, 0],
@@ -88,7 +91,7 @@ DIRECT7_OFFSETS = jnp.array(
         [0, 0, 1],
         [0, 0, -1],
     ],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )
 
-DIRECT1_OFFSETS = jnp.zeros((1, 3), dtype=jnp.int32)
+DIRECT1_OFFSETS = np.zeros((1, 3), dtype=np.int32)
