@@ -192,6 +192,20 @@ class LigoTcApp:
         )
         self._factor_template = tpl
 
+    def save_checkpoint(self, path: str):
+        """Persist the tightly-coupled state (nav window + keyframe ring +
+        trust/origin/gravity) — runtime.checkpoint.save_ligo_tc."""
+        from ..runtime import checkpoint
+
+        checkpoint.save_ligo_tc(path, self)
+
+    def resume_from(self, path: str):
+        """Restore a checkpoint; subsequent scans continue the trajectory."""
+        from ..runtime import checkpoint
+
+        checkpoint.load_ligo_tc(path, self)
+        return self
+
     def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
         for synced in self.ingest.synced_frames(replay_path):
             self.process(synced)

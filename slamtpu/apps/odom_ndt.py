@@ -24,20 +24,14 @@ import numpy as np
 
 from ..core import se3
 from ..core.se3 import Pose3
-from ..fusion import (
-    SmootherConfig,
-    WindowState,
-    empty_factors,
-    marginal_covariance,
-)
 from ..fusion import robust, smoother
+from ..fusion.graph import sqrt_info_from_cov
 from ..mapping import gaussian_map
 from ..ndt import NewtonConfig, newton_align
 from ..runtime.config import PipelineConfig
 from ..runtime.stats import KeyFrameStats, StageTimer, StatsArchive
 from .common import (IngestPipeline, TrajectoryEntry, ins_pose_ned, maybe_deskew,
-    np_between, np_pose7 as _p7, np_sqrt_info_from_cov, np_sqrt_info_from_sigmas)
-from .packed import PackedStep
+    np_pose7 as _p7)
 
 log = logging.getLogger("slamtpu.odom_ndt")
 
@@ -180,15 +174,15 @@ def _register_step(
     jax.jit,
     static_argnames=(
         "cfg", "capacity", "min_points", "grid_shape", "max_td", "max_rd",
-        "method", "svn_cfg", "inner_iters",
+        "method", "svn_cfg", "inner_iters", "window", "smoother_iters",
     ),
+    donate_argnums=(0,),
 )
-def _odom_step(
-    prev_points,  # (N, 3) previous keyframe cloud, BODY frame
-    prev_mask,
+def _odom_fused_step(
+    carry,  # device-resident odometry state (window ring + prev cloud), donated
     new_points,  # (N, 3) body frame
     new_mask,
-    flat,  # (28,) [prev_opt_pose(12), prev_prev_pose(12), have_pp(1), origin(3)]
+    flat,  # (21,) [ins_rot(9), ins_trans(3), scaled_sigma(6), origin(3)]
     cfg: NewtonConfig,
     capacity: int,
     min_points: int,
@@ -199,46 +193,112 @@ def _odom_step(
     svn_cfg=None,
     key=None,
     inner_iters: int = 2,
+    window: int = 6,
+    smoother_iters: int = 4,
 ):
-    """One fully-fused odometry keyframe (pipeline.cpp:432-592): transform
-    the target cloud to its optimized world pose, build the NDT map,
-    register from the constant-velocity guess, deviation-gate + blend.
+    """One COMPLETE odometry keyframe in a single device dispatch
+    (pipeline.cpp:432-824): transform the previous keyframe cloud to its
+    optimized pose, build the NDT map, register from the constant-velocity
+    guess, deviation-gate + blend, derive the LiDAR covariance from the
+    Hessian, slide the factor window, re-solve the pose window
+    (iSAM2-equivalent), and extract the marginal covariance.
 
-    All small inputs ride in a single packed vector and the result comes
-    back as one (52,) vector [blended(12), hessian(36), score, iterations,
-    converged, w] — per-array transfers cost ~6 ms each via the TPU tunnel
-    and used to dominate keyframe time."""
+    Round 2 split this across two dispatches with a host round trip between
+    them (Hessian -> covariance -> sqrt-info assembly in numpy) — that trip
+    plus the 15-dof QR smoother were the last fat keeping odom_berlin below
+    sensor rate. All inter-stage data now stays on device; the host ships
+    one (21,) vector in and one (100,) vector out per keyframe, and the
+    carried window state never leaves the device.
+    """
+    W = window
+    cd = carry["win_trans"].dtype  # f64 under x64 (CPU tests), f32 on TPU
     f32 = jnp.float32
-    prev = Pose3(flat[0:9].reshape(3, 3).astype(f32), flat[9:12].astype(f32))
-    pp = Pose3(flat[12:21].reshape(3, 3).astype(f32), flat[21:24].astype(f32))
-    have_pp = flat[24] > 0.5
-    origin = flat[25:28].astype(f32)
-    target = se3.transform_points(prev, prev_points)
-    guess_cv = robust.constant_velocity_predict(pp, prev)
-    guess = jax.tree.map(
-        lambda a, b: jnp.where(have_pp, a, b), guess_cv, prev
+    ins_pose = Pose3(flat[0:9].reshape(3, 3).astype(cd), flat[9:12].astype(cd))
+    scaled_sigma = jnp.maximum(flat[12:18].astype(cd), 1e-6)
+    origin = flat[18:21].astype(f32)
+
+    n = carry["n"]  # states currently in the window (>= 1)
+    idx_prev = n - 1
+    prev = Pose3(carry["win_rot"][idx_prev], carry["win_trans"][idx_prev])
+    pp = Pose3(
+        carry["win_rot"][jnp.maximum(idx_prev - 1, 0)],
+        carry["win_trans"][jnp.maximum(idx_prev - 1, 0)],
     )
+    have_pp = n >= 2
+    prev32 = Pose3(prev.rot.astype(f32), prev.trans.astype(f32))
+    pp32 = Pose3(pp.rot.astype(f32), pp.trans.astype(f32))
+    target = se3.transform_points(prev32, carry["prev_points"])
+    guess_cv = robust.constant_velocity_predict(pp32, prev32)
+    guess = jax.tree.map(lambda a, b: jnp.where(have_pp, a, b), guess_cv, prev32)
     res = _register_step(
-        target, prev_mask, new_points, new_mask, guess, origin,
+        target, carry["prev_mask"], new_points, new_mask, guess, origin,
         cfg, capacity, min_points, grid_shape,
         method=method, svn_cfg=svn_cfg, key=key, inner_iters=inner_iters,
     )
-    blended, w = robust.deviation_gated_blend(guess, res.pose, max_td, max_rd)
-    return jnp.concatenate(
+    blended32, w = robust.deviation_gated_blend(guess, res.pose, max_td, max_rd)
+    blended = Pose3(blended32.rot.astype(cd), blended32.trans.astype(cd))
+
+    # LiDAR covariance from the Hessian (pipeline.cpp:594-603), on device
+    H = res.hessian.astype(cd)
+    lidar_cov = -jnp.linalg.inv(H + 1e-6 * jnp.eye(6, dtype=cd))
+    lidar_cov = 0.5 * (lidar_cov + lidar_cov.T)
+    ev, evec = jnp.linalg.eigh(lidar_cov)
+    lidar_cov = (evec * jnp.maximum(ev, 1e-12)[None, :]) @ evec.T
+    fb_si_new = sqrt_info_from_cov(lidar_cov)
+    rel = se3.between(prev, blended)
+
+    # slide the window ring: roll left when full, write at idx
+    full = n >= W
+    idx = jnp.minimum(n, W - 1)
+
+    def roll_in(a, new_val):
+        rolled = jnp.where(full, jnp.roll(a, -1, axis=0), a)
+        return rolled.at[idx].set(new_val.astype(a.dtype))
+
+    win_rot = roll_in(carry["win_rot"], blended.rot)
+    win_trans = roll_in(carry["win_trans"], blended.trans)
+    fp_rot = roll_in(carry["fp_rot"], ins_pose.rot)
+    fp_trans = roll_in(carry["fp_trans"], ins_pose.trans)
+    fp_sig = roll_in(carry["fp_sig"], scaled_sigma)
+    # edge slot e holds the between factor (e-1) -> e; idx >= 1 here
+    fb_rot = roll_in(carry["fb_rot"], rel.rot)
+    fb_trans = roll_in(carry["fb_trans"], rel.trans)
+    fb_si = roll_in(carry["fb_si"], fb_si_new)
+
+    ks = jnp.arange(W)
+    active = ks <= idx
+    b_active = (ks >= 1) & (ks <= idx)
+
+    fp_si = jax.vmap(jnp.diag)(1.0 / fp_sig)
+    sm = smoother.optimize_pose_window(
+        win_rot, win_trans, active, fp_rot, fp_trans, fp_si,
+        fb_rot[1:], fb_trans[1:], fb_si[1:], b_active[1:],
+        iterations=smoother_iters,
+    )
+    cov_opt = smoother.pose_marginal_covariance(sm.hessian, idx)
+
+    new_carry = dict(
+        win_rot=sm.rot, win_trans=sm.trans,
+        fp_rot=fp_rot, fp_trans=fp_trans, fp_sig=fp_sig,
+        fb_rot=fb_rot, fb_trans=fb_trans, fb_si=fb_si,
+        n=jnp.minimum(n + 1, W),
+        prev_points=new_points, prev_mask=new_mask,
+    )
+    out = jnp.concatenate(
         [
-            blended.rot.ravel().astype(f32),
-            blended.trans.astype(f32),
-            res.hessian.ravel().astype(f32),
+            sm.rot[idx].ravel(), sm.trans[idx],
+            cov_opt.ravel(),
+            lidar_cov.ravel(),
+            rel.rot.ravel(), rel.trans,
             jnp.stack(
                 [
-                    res.score.astype(f32),
-                    res.iterations.astype(f32),
-                    res.converged.astype(f32),
-                    w.astype(f32),
+                    res.score.astype(cd), res.iterations.astype(cd),
+                    res.converged.astype(cd), w.astype(cd),
                 ]
             ),
         ]
     )
+    return new_carry, out
 
 
 @dataclasses.dataclass
@@ -250,6 +310,7 @@ class OdomNdtApp:
     loop_closure: bool = False  # voxel-bucket candidate search + NDT verify
     loop_cfg: object = None  # fusion.loop_closure.LoopClosureConfig
     method: Optional[str] = None  # None -> cfg.register.method
+    smoother_iters: int = 4  # pose-window Gauss-Newton iterations
 
     def __post_init__(self):
         self.ingest = IngestPipeline(self.cfg)
@@ -288,37 +349,22 @@ class OdomNdtApp:
                 use_direct1=reg.svn_search_method == "DIRECT1",
             )
             self._key = jax.random.PRNGKey(1234)
-        self.trajectory: List[TrajectoryEntry] = []
-        self.stats = StatsArchive()
+        self._trajectory: List[TrajectoryEntry] = []
+        self._stats = StatsArchive()
         self.timer = StageTimer()
         self._ref_lla: Optional[np.ndarray] = None
         self._origin = None  # numpy (3,)
-        self._prev_cloud = None  # (points_body, mask) of previous keyframe (device)
-        self._prev_pose = None  # (rot, trans) numpy, optimized world pose
-        self._prev_prev_pose = None
         self._trust = robust.trust_gain_init_np()
-        # smoother ring: window poses; index of current within window
-        self._win_poses: List = []  # (rot np, trans np) per state
-        self._win_ins: List = []  # ((rot, trans), scaled_sigmas) per state
-        self._win_between: List = []  # ((rot, trans), cov 6x6) between i-1 -> i
-        self._fuse_step = PackedStep(self._fuse_device)
-        # static factor skeleton: indices and the vel/bias pins never change
-        W = self.window
-        tpl = empty_factors(W, W - 1, 1, 1, 0, 0)
-        tpl = tpl._replace(
-            prior_pose=tpl.prior_pose._replace(idx=jnp.arange(W, dtype=jnp.int32)),
-            between=tpl.between._replace(
-                i=jnp.arange(W - 1, dtype=jnp.int32),
-                j=jnp.arange(1, W, dtype=jnp.int32),
-            ),
-            prior_vel=tpl.prior_vel._replace(
-                idx=jnp.asarray([0], jnp.int32), active=jnp.asarray([True])
-            ),
-            prior_bias=tpl.prior_bias._replace(
-                idx=jnp.asarray([0], jnp.int32), active=jnp.asarray([True])
-            ),
-        )
-        self._factor_template = tpl
+        # device-resident odometry state (window ring + previous cloud);
+        # see _odom_fused_step. None until the first keyframe.
+        self._carry = None
+        self._n_keyframes = 0
+        # keyframes whose device results are still in flight — the host
+        # fetches lag one keyframe behind dispatch so the next frame's
+        # decode/pack overlaps the device step (lo_svn's pattern; here the
+        # carried window state lives on device, so there is no host-side
+        # data dependency between keyframes at all)
+        self._pending: List[tuple] = []
         # loop closure (the reference's candidate-search scaffold,
         # pipeline.cpp:676-736, completed): detector + full odometry-chain
         # history for the offline pose-graph refinement pass
@@ -330,10 +376,34 @@ class OdomNdtApp:
 
             self._detector = LoopDetector(self.loop_cfg or LoopClosureConfig())
 
+    @property
+    def trajectory(self) -> List[TrajectoryEntry]:
+        self.flush()
+        return self._trajectory
+
+    @property
+    def stats(self) -> StatsArchive:
+        self.flush()
+        return self._stats
+
+    def save_checkpoint(self, path: str):
+        """Persist the odometry state (device carry + trust + origin) so a
+        later run continues exactly — runtime.checkpoint.save_odom_ndt."""
+        from ..runtime import checkpoint
+
+        checkpoint.save_odom_ndt(path, self)
+
+    def resume_from(self, path: str):
+        """Restore a checkpoint; subsequent scans continue the trajectory."""
+        from ..runtime import checkpoint
+
+        checkpoint.load_odom_ndt(path, self)
+        return self
+
     def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
         for synced in self.ingest.synced_frames(replay_path):
             self.process(synced)
-            if len(self.trajectory) >= max_keyframes:
+            if self._n_keyframes >= max_keyframes:
                 break
         return self.trajectory
 
@@ -354,7 +424,7 @@ class OdomNdtApp:
         ins_pose = ins_pose_ned(nav, self._ref_lla)
         ins_sigma = np.concatenate([np.asarray(nav.sigma_rpy), np.asarray(nav.sigma_pos)])
 
-        if self._prev_cloud is None:
+        if self._carry is None:
             # first keyframe: INS prior only (pipeline.cpp:532-543)
             grid_half = 512.0 * self.newton_cfg.resolution
             self._origin = np.asarray(ins_pose.trans, np.float64) - grid_half
@@ -364,70 +434,78 @@ class OdomNdtApp:
         self._origin, _shifted = gaussian_map.recenter_origin(
             self._origin, np.asarray(ins_pose.trans), self.newton_cfg.resolution
         )
-        # pack the guess poses + origin; run register+gate+blend as ONE
-        # device step (pipeline.cpp:432-592)
-        prev = self._prev_pose
-        pp = self._prev_prev_pose if self._prev_prev_pose is not None else prev
-        flat = np.concatenate(
-            [
-                np.asarray(prev[0], np.float64).ravel(), np.asarray(prev[1], np.float64),
-                np.asarray(pp[0], np.float64).ravel(), np.asarray(pp[1], np.float64),
-                [1.0 if self._prev_prev_pose is not None else 0.0],
-                np.asarray(self._origin, np.float64),
-            ]
-        ).astype(np.float32)
-        with self.timer.span("ndt"):
-            out = np.asarray(
-                _odom_step(
-                    self._prev_cloud[0],
-                    self._prev_cloud[1],
-                    scan.points,
-                    scan.mask,
-                    flat,
-                    self.newton_cfg,
-                    self.cfg.register.map_capacity,
-                    self.cfg.register.min_points_per_voxel,
-                    tuple(self.cfg.register.reg_grid_shape)
-                    if self.cfg.register.use_regmap
-                    else None,
-                    self.max_trans_deviation,
-                    self.max_rot_deviation,
-                    method=self.method,
-                    svn_cfg=self.svn_cfg,
-                    key=self._next_key(),
-                    inner_iters=self.cfg.register.fused_inner_iters,
-                ),
-                np.float64,
-            )
-        blended = (out[0:9].reshape(3, 3), out[9:12])
-        H = out[12:48].reshape(6, 6)
-        ndt_score, ndt_iters, ndt_converged, w = out[48:52]
-        # LiDAR covariance from the Hessian (pipeline.cpp:594-603)
-        lidar_cov = -np.linalg.inv(H + 1e-6 * np.eye(6))
-        lidar_cov = 0.5 * (lidar_cov + lidar_cov.T)
-        ev, evec = np.linalg.eigh(lidar_cov)
-        lidar_cov = evec @ np.diag(np.maximum(ev, 1e-12)) @ evec.T
-        rel = np_between(self._prev_pose, blended)
-
-        # trust-gain INS prior (pipeline.cpp:637-665); insChecker = sigma norm
+        # trust-gain INS prior (pipeline.cpp:637-665); insChecker = sigma
+        # norm — host data only, so it is computed BEFORE dispatch and the
+        # device step has no host-side dependency on the previous keyframe
         self._trust, scale = robust.trust_gain_update_np(
             self._trust, float(np.linalg.norm(np.asarray(nav.sigma_pos)))
         )
-        scaled_sigma = ins_sigma * float(scale)
-        scaled_sigma = np.maximum(scaled_sigma, 1e-6)
+        scaled_sigma = np.maximum(ins_sigma * float(scale), 1e-6)
+        flat = np.concatenate(
+            [
+                np.asarray(ins_pose.rot, np.float64).ravel(),
+                np.asarray(ins_pose.trans, np.float64),
+                scaled_sigma,
+                np.asarray(self._origin, np.float64),
+            ]
+        ).astype(self._flat_dtype)
+        with self.timer.span("step"):
+            self._carry, out = _odom_fused_step(
+                self._carry,
+                scan.points,
+                scan.mask,
+                flat,
+                self.newton_cfg,
+                self.cfg.register.map_capacity,
+                self.cfg.register.min_points_per_voxel,
+                tuple(self.cfg.register.reg_grid_shape)
+                if self.cfg.register.use_regmap
+                else None,
+                self.max_trans_deviation,
+                self.max_rot_deviation,
+                method=self.method,
+                svn_cfg=self.svn_cfg,
+                key=self._next_key(),
+                inner_iters=self.cfg.register.fused_inner_iters,
+                window=self.window,
+                smoother_iters=self.smoother_iters,
+            )
+        self._n_keyframes += 1
+        # the scan buffers enter the donated carry as prev_points/prev_mask
+        # and are consumed by the NEXT dispatch — the loop-closure detector
+        # needs its own copies
+        det_cloud = (
+            (jnp.array(scan.points, copy=True), jnp.array(scan.mask, copy=True))
+            if self._detector is not None
+            else None
+        )
+        self._pending.append(
+            (synced, int(scan.num_points), ins_pose, ins_sigma, scaled_sigma,
+             self.timer.last_ms("step"), det_cloud, out)
+        )
+        if len(self._pending) > 2:
+            self._drain_one()
 
-        with self.timer.span("smoother"):
-            pose_opt, cov_opt = self._fuse(blended, rel, lidar_cov, ins_pose, scaled_sigma)
+    def flush(self):
+        """Materialize all in-flight keyframe results."""
+        while self._pending:
+            self._drain_one()
 
-        self._prev_prev_pose = self._prev_pose
-        self._prev_pose = pose_opt
-        self._prev_cloud = (scan.points, scan.mask)  # body frame; _odom_step transforms
+    def _drain_one(self):
+        (synced, num_points, ins_pose, ins_sigma, scaled_sigma, dt_ms, det_cloud,
+         out_dev) = self._pending.pop(0)
+        out = np.asarray(out_dev, np.float64)
+        pose_opt = (out[0:9].reshape(3, 3), out[9:12])
+        cov_opt = out[12:48].reshape(6, 6)
+        lidar_cov = out[48:84].reshape(6, 6)
+        rel = (out[84:93].reshape(3, 3), out[93:96])
+        ndt_score, ndt_iters, ndt_converged, w = out[96:100]
         if self._detector is not None:
             self._odo_rels.append((rel, lidar_cov))
             self._closures += self._detector.add_keyframe(
-                Pose3(pose_opt[0], pose_opt[1]), scan.points, scan.mask
+                Pose3(pose_opt[0], pose_opt[1]), det_cloud[0], det_cloud[1]
             )
-        self.trajectory.append(
+        self._trajectory.append(
             TrajectoryEntry(
                 timestamp=synced.t_end,
                 frame_id=synced.scan.frame_id,
@@ -436,21 +514,19 @@ class OdomNdtApp:
                 covariance=cov_opt,
             )
         )
-        self.stats.add(
+        self._stats.add(
             KeyFrameStats(
                 frame_id=synced.scan.frame_id,
                 timestamp=synced.t_end,
-                num_points=int(scan.num_points),
+                num_points=num_points,
                 ndt_iterations=int(ndt_iters),
                 converged=bool(ndt_converged > 0.5),
                 score=float(ndt_score),
                 ins_sigma=ins_sigma,
                 scaled_sigma=scaled_sigma,
                 lidar_sigma=np.sqrt(np.maximum(np.diag(lidar_cov), 0.0)),
-                optimized_sigma=np.sqrt(np.maximum(np.diag(cov_opt)[:6], 0.0))
-                if cov_opt is not None
-                else np.zeros(6),
-                align_time_ms=self.timer.last_ms("ndt"),
+                optimized_sigma=np.sqrt(np.maximum(np.diag(cov_opt), 0.0)),
+                align_time_ms=dt_ms,
                 ins_pose=_p7(np.asarray(ins_pose.rot), np.asarray(ins_pose.trans)),
                 optimized_pose=_p7(pose_opt[0], pose_opt[1]),
                 # INS-vs-optimized translation gap (pipeline.cpp:745-752)
@@ -461,21 +537,42 @@ class OdomNdtApp:
             )
         )
 
+    @property
+    def _flat_dtype(self):
+        return np.float64 if jax.config.jax_enable_x64 else np.float32
+
     def _start(self, ins_pose, ins_sigma, synced, scan):
-        self._prev_pose = (np.asarray(ins_pose.rot, np.float64),
-                           np.asarray(ins_pose.trans, np.float64))
-        self._prev_cloud = (scan.points, scan.mask)  # body frame
+        W = self.window
+        cd = self._flat_dtype
+        eye3 = np.tile(np.eye(3), (W, 1, 1))
+        win_rot = eye3.copy()
+        win_rot[0] = np.asarray(ins_pose.rot, np.float64)
+        win_trans = np.zeros((W, 3))
+        win_trans[0] = np.asarray(ins_pose.trans, np.float64)
+        fp_sig = np.ones((W, 6))
+        fp_sig[0] = np.maximum(ins_sigma, 1e-6)
+        self._carry = dict(
+            win_rot=jnp.asarray(win_rot, cd),
+            win_trans=jnp.asarray(win_trans, cd),
+            fp_rot=jnp.asarray(win_rot, cd),
+            fp_trans=jnp.asarray(win_trans, cd),
+            fp_sig=jnp.asarray(fp_sig, cd),
+            fb_rot=jnp.asarray(eye3, cd),
+            fb_trans=jnp.zeros((W, 3), cd),
+            fb_si=jnp.asarray(np.tile(np.eye(6), (W, 1, 1)), cd),
+            n=jnp.asarray(1, jnp.int32),
+            prev_points=scan.points,
+            prev_mask=scan.mask,
+        )
+        self._n_keyframes += 1
         if self._detector is not None:
+            # copies: the originals enter the donated carry as prev_points
             self._closures += self._detector.add_keyframe(
-                Pose3(self._prev_pose[0], self._prev_pose[1]), scan.points, scan.mask
+                Pose3(np.asarray(ins_pose.rot, np.float64),
+                      np.asarray(ins_pose.trans, np.float64)),
+                jnp.array(scan.points, copy=True), jnp.array(scan.mask, copy=True),
             )
-        self._win_poses = [(np.asarray(ins_pose.rot), np.asarray(ins_pose.trans))]
-        self._win_ins = [
-            ((np.asarray(ins_pose.rot), np.asarray(ins_pose.trans)),
-             np.maximum(ins_sigma, 1e-6))
-        ]
-        self._win_between = []
-        self.trajectory.append(
+        self._trajectory.append(
             TrajectoryEntry(
                 timestamp=synced.t_end,
                 frame_id=synced.scan.frame_id,
@@ -483,76 +580,6 @@ class OdomNdtApp:
                 ins_pose=ins_pose,
             )
         )
-
-    def _fuse_device(self, a):
-        """Device half of the window re-solve (traced once by PackedStep)."""
-        W = self.window
-        dtype = a["trans"].dtype
-        tpl = self._factor_template
-        st = WindowState(
-            rot=a["rot"], trans=a["trans"],
-            vel=jnp.zeros((W, 3), dtype), bias=jnp.zeros((W, 6), dtype),
-            active=a["active"],
-        )
-        factors = tpl._replace(
-            prior_pose=tpl.prior_pose._replace(
-                rot=a["fp_rot"], trans=a["fp_trans"],
-                sqrt_info=a["fp_si"], active=a["active"],
-            ),
-            between=tpl.between._replace(
-                rot=a["fb_rot"], trans=a["fb_trans"],
-                sqrt_info=a["fb_si"], active=a["b_active"],
-            ),
-        )
-        result = smoother.optimize(st, factors, SmootherConfig(iterations=5))
-        cov = marginal_covariance(result.hessian, a["cur"])
-        return dict(rot=result.state.rot, trans=result.state.trans, cov=cov)
-
-    def _fuse(self, blended, rel, lidar_cov, ins_pose, scaled_sigma):
-        """Window smoother: INS priors on every state + NDT betweens
-        (pipeline.cpp:738-759). Everything is assembled host-side in numpy
-        and shipped as ONE packed vector (PackedStep) — per-array transfers
-        cost ~6 ms each through the device tunnel."""
-        np_pose = lambda p: (np.asarray(p[0], np.float64), np.asarray(p[1], np.float64))
-        self._win_poses.append(np_pose(blended))
-        self._win_ins.append(
-            ((np.asarray(ins_pose.rot, np.float64), np.asarray(ins_pose.trans, np.float64)),
-             np.asarray(scaled_sigma))
-        )
-        self._win_between.append((np_pose(rel), np.asarray(lidar_cov)))
-        if len(self._win_poses) > self.window:
-            self._win_poses.pop(0)
-            self._win_ins.pop(0)
-            self._win_between.pop(0)
-        W = self.window
-        n = len(self._win_poses)
-        pad = W - n
-
-        def stack(items, pad_item, count):
-            return np.stack(list(items) + [pad_item] * count)
-
-        eye3, eye6 = np.eye(3), np.eye(6)
-        n_b = len(self._win_between)  # always n - 1: between k -> k+1
-        args = dict(
-            rot=stack((r for r, _ in self._win_poses), eye3, pad),
-            trans=stack((t for _, t in self._win_poses), np.zeros(3), pad),
-            active=np.asarray([True] * n + [False] * pad),
-            fp_rot=stack((p[0] for p, _ in self._win_ins), eye3, pad),
-            fp_trans=stack((p[1] for p, _ in self._win_ins), np.zeros(3), pad),
-            fp_si=stack((np_sqrt_info_from_sigmas(s) for _, s in self._win_ins), eye6, pad),
-            fb_rot=stack((r[0] for r, _ in self._win_between), eye3, W - 1 - n_b),
-            fb_trans=stack((r[1] for r, _ in self._win_between), np.zeros(3), W - 1 - n_b),
-            fb_si=stack((np_sqrt_info_from_cov(c) for _, c in self._win_between), eye6, W - 1 - n_b),
-            b_active=np.asarray([True] * n_b + [False] * (W - 1 - n_b)),
-            cur=np.int32(n - 1),
-        )
-        out = self._fuse_step(args)
-        state_rot = np.asarray(out["rot"], np.float64)
-        state_trans = np.asarray(out["trans"], np.float64)
-        cov = np.asarray(out["cov"], np.float64)
-        # write back optimized window poses (host copies)
-        self._win_poses = [(state_rot[k], state_trans[k]) for k in range(n)]
-        return (state_rot[n - 1], state_trans[n - 1]), cov
 
     def refine_loop_closures(self):
         """Offline pose-graph pass over the full trajectory: odometry-chain

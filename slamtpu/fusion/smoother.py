@@ -104,6 +104,110 @@ def optimize(
     return SmootherResult(final_state, H, 0.5 * jnp.sum(r**2), iters)
 
 
+class PoseWindowResult(NamedTuple):
+    rot: jax.Array  # (W, 3, 3)
+    trans: jax.Array  # (W, 3)
+    hessian: jax.Array  # (W*6, W*6) normal matrix at solution (pins included)
+    error: jax.Array  # () final 0.5*||r||^2
+
+
+def optimize_pose_window(
+    rot, trans, active,
+    fp_rot, fp_trans, fp_sqrt_info,
+    fb_rot, fb_trans, fb_sqrt_info, b_active,
+    iterations: int = 5,
+    damping: float = 1e-6,
+):
+    """Pose-only window Gauss-Newton (the odometry graph of pipeline.cpp:
+    604-665: one INS pose prior per state + NDT between factors on the
+    chain). The 15-dof smoother above pins vel/bias to zero for this graph,
+    so the pose solution is identical — but the solve here is 6W dofs
+    instead of 15W, and uses equilibrated normal-equations Cholesky instead
+    of QR on the (r + 2n) x n augmented Jacobian. Small-matrix QR is
+    sequential-per-column and dominated the odometry keyframe on TPU
+    (BENCH_NOTES round-2 gap analysis); the Jacobi-equilibrated Cholesky
+    keeps f32 conditioning in check (diag(H~) == 1) at a fraction of the
+    cost.
+
+    fb arrays describe edges k -> k+1 for k in [0, W-2].
+    """
+    from ..core import se3
+    from ..core.se3 import Pose3
+
+    W = trans.shape[0]
+    n = 6 * W
+    dtype = trans.dtype
+    inactive = ~active
+    pin = jnp.repeat(inactive.astype(dtype), 6)
+    idx_i = jnp.arange(W - 1)
+    idx_j = jnp.arange(1, W)
+    prior = Pose3(fp_rot, fp_trans)
+    meas = Pose3(fb_rot, fb_trans)
+
+    def resid(pose: Pose3):
+        r_p = se3.local(prior, pose)
+        r_p = jnp.einsum("fij,fj->fi", fp_sqrt_info, r_p)
+        r_p = jnp.where(active[:, None], r_p, 0.0)
+        xi = Pose3(pose.rot[idx_i], pose.trans[idx_i])
+        xj = Pose3(pose.rot[idx_j], pose.trans[idx_j])
+        r_b = se3.local(meas, se3.between(xi, xj))
+        r_b = jnp.einsum("fij,fj->fi", fb_sqrt_info, r_b)
+        r_b = jnp.where(b_active[:, None], r_b, 0.0)
+        return jnp.concatenate([r_p.ravel(), r_b.ravel()])
+
+    def linearize(pose: Pose3):
+        def r_of(delta):
+            return resid(se3.retract(pose, delta.reshape(W, 6)))
+
+        zero = jnp.zeros(n, dtype)
+        return r_of(zero), jax.jacfwd(r_of)(zero)
+
+    def solve(H, g):
+        # Jacobi equilibration: solve (DHD) z = -Dg, delta = Dz. Keeps the
+        # f32 Cholesky stable across the ~1e6+ info-magnitude spread between
+        # tight NDT betweens and trust-gain-scaled INS priors.
+        d = jax.lax.rsqrt(jnp.maximum(jnp.diag(H), 1e-30))
+        Hs = H * d[:, None] * d[None, :]
+        L = jnp.linalg.cholesky(Hs + damping * jnp.eye(n, dtype=dtype))
+        z = jax.scipy.linalg.cho_solve((L, True), -(d * g))
+        return d * z
+
+    def gn_hessian(pose: Pose3):
+        r, J = linearize(pose)
+        unobserved = ~jnp.any(jnp.abs(J) > 0.0, axis=0)
+        H = J.T @ J + jnp.diag(jnp.maximum(pin, unobserved.astype(dtype)))
+        return r, J, H
+
+    def body(carry, _):
+        pose, err = carry
+        r, J, H = gn_hessian(pose)
+        delta = solve(H, J.T @ r)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        new_pose = se3.retract(pose, delta.reshape(W, 6))
+        new_err = 0.5 * jnp.sum(resid(new_pose) ** 2)
+        accept = new_err <= err
+        pose_out = Pose3(
+            jnp.where(accept, new_pose.rot, pose.rot),
+            jnp.where(accept, new_pose.trans, pose.trans),
+        )
+        return (pose_out, jnp.where(accept, new_err, err)), None
+
+    pose0 = Pose3(rot, trans)
+    err0 = 0.5 * jnp.sum(resid(pose0) ** 2)
+    (pose, err), _ = jax.lax.scan(body, (pose0, err0), None, length=iterations)
+    r, J, H = gn_hessian(pose)
+    return PoseWindowResult(pose.rot, pose.trans, H, 0.5 * jnp.sum(r**2))
+
+
+def pose_marginal_covariance(hessian: jax.Array, idx, damping: float = 1e-12):
+    """(6, 6) marginal covariance of pose ``idx`` from a pose-window normal
+    matrix — the 6-dof analog of :func:`marginal_covariance`."""
+    n = hessian.shape[0]
+    Hinv = jnp.linalg.inv(hessian + damping * jnp.eye(n, dtype=hessian.dtype))
+    s = idx * 6
+    return jax.lax.dynamic_slice(Hinv, (s, s), (6, 6))
+
+
 def marginal_covariance(hessian: jax.Array, idx, damping: float = 1e-12):
     """Marginal covariance of state ``idx``: the corresponding 15x15 block of
     H^-1 (what iSAM2's marginalCovariance returns for the pose sub-block,

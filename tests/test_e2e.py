@@ -485,3 +485,74 @@ class TestInsMapResume:
         np.testing.assert_allclose(
             np.asarray(b._stats.sxx), np.asarray(full._stats.sxx), atol=1e-8
         )
+
+
+class TestOdomResume:
+    def test_split_run_equals_continuous(self, replay):
+        """Checkpoint after half the sequence, resume in a NEW app: the
+        combined trajectory must equal the continuous run (the odometry
+        state is one device pytree + host scalars, all persisted)."""
+        path, gt, cfg = replay
+        full = OdomNdtApp(cfg, window=4)
+        frames = list(full.ingest.synced_frames(path))
+        for s in frames:
+            full.process(s)
+        traj_full = full.trajectory
+
+        half = len(frames) // 2
+        a = OdomNdtApp(cfg, window=4)
+        frames_a = list(a.ingest.synced_frames(path))
+        for s in frames_a[:half]:
+            a.process(s)
+        import tempfile, os
+
+        ckpt = os.path.join(tempfile.mkdtemp(), "odom.npz")
+        a.save_checkpoint(ckpt)
+        b = OdomNdtApp(cfg, window=4).resume_from(ckpt)
+        for s in frames_a[half:]:
+            b.process(s)
+        combined = a.trajectory + b.trajectory
+        assert len(combined) == len(traj_full)
+        for x, y in zip(combined, traj_full):
+            np.testing.assert_allclose(
+                np.asarray(x.pose.trans), np.asarray(y.pose.trans), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(x.pose.rot), np.asarray(y.pose.rot), atol=1e-5
+            )
+
+
+class TestLigoResume:
+    def test_split_run_equals_continuous(self, replay):
+        """Same split-run == continuous-run gate for the tightly-coupled app
+        (nav window incl. preintegration deltas + keyframe ring persisted).
+        The continuous run uses rebuild_every=1 so the resumed run's forced
+        RegMap rebuild matches bit-for-bit."""
+        path, gt, cfg = replay
+        full = LigoTcApp(cfg, window=4)
+        frames = list(full.ingest.synced_frames(path))
+        for s in frames:
+            full.process(s)
+        traj_full = full.trajectory
+
+        half = len(frames) // 2
+        a = LigoTcApp(cfg, window=4)
+        frames_a = list(a.ingest.synced_frames(path))
+        for s in frames_a[:half]:
+            a.process(s)
+        import tempfile, os
+
+        ckpt = os.path.join(tempfile.mkdtemp(), "ligo.npz")
+        a.save_checkpoint(ckpt)
+        b = LigoTcApp(cfg, window=4).resume_from(ckpt)
+        for s in frames_a[half:]:
+            b.process(s)
+        combined = a.trajectory + b.trajectory
+        assert len(combined) == len(traj_full)
+        for x, y in zip(combined, traj_full):
+            np.testing.assert_allclose(
+                np.asarray(x.pose.trans), np.asarray(y.pose.trans), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(x.pose.rot), np.asarray(y.pose.rot), atol=1e-5
+            )

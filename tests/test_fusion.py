@@ -416,3 +416,104 @@ class TestHostTwins:
             assert bool(st_j.was_denied) == st_n[0], k
             np.testing.assert_allclose(float(st_j.trust), st_n[1], atol=1e-12)
             np.testing.assert_allclose(float(scale_j), scale_n, atol=1e-9)
+
+
+class TestPoseOnlySmoother:
+    """optimize_pose_window must match the 15-dof smoother on pose-only
+    graphs (the odometry graph: INS priors + NDT between chain) — same
+    residuals, 6W-dof equilibrated-Cholesky solve instead of 15W-dof QR."""
+
+    def _random_graph(self, W, seed=7):
+        rng = np.random.default_rng(seed)
+        gt = [se3.identity()]
+        for i in range(W - 1):
+            gt.append(
+                se3.compose(
+                    gt[-1],
+                    se3.from_rpy_xyz(
+                        jnp.asarray(rng.normal(0, 0.05, 3)),
+                        jnp.asarray(rng.normal(0, 1.0, 3)),
+                    ),
+                )
+            )
+        # noisy INS priors on every state, exact-ish betweens with full cov
+        fp_rot = jnp.stack([
+            se3.compose(g, se3.from_rpy_xyz(
+                jnp.asarray(rng.normal(0, 0.01, 3)), jnp.asarray(rng.normal(0, 0.05, 3))
+            )).rot for g in gt])
+        fp_trans = jnp.stack([
+            se3.compose(g, se3.from_rpy_xyz(
+                jnp.asarray(rng.normal(0, 0.01, 3)), jnp.asarray(rng.normal(0, 0.05, 3))
+            )).trans for g in gt])
+        fp_si = jnp.stack([jnp.diag(jnp.asarray(1.0 / rng.uniform(0.02, 0.2, 6)))
+                           for _ in range(W)])
+        rels = [se3.between(gt[i], gt[i + 1]) for i in range(W - 1)]
+        fb_rot = jnp.stack([r.rot for r in rels])
+        fb_trans = jnp.stack([r.trans for r in rels])
+        fb_si = jnp.broadcast_to(jnp.eye(6) * 50.0, (W - 1, 6, 6))
+        init_rot = jnp.stack([g.rot for g in gt])
+        init_trans = jnp.stack([g.trans + rng.normal(0, 0.1, 3) for g in gt])
+        return (init_rot, init_trans, fp_rot, fp_trans, fp_si, fb_rot, fb_trans, fb_si)
+
+    def test_matches_full_smoother_on_pose_only_graph(self):
+        W = 6
+        (init_rot, init_trans, fp_rot, fp_trans, fp_si,
+         fb_rot, fb_trans, fb_si) = self._random_graph(W)
+        active = jnp.asarray([True] * 5 + [False])
+        b_active = jnp.asarray([True] * 4 + [False])
+
+        res_p = smoother.optimize_pose_window(
+            init_rot, init_trans, active, fp_rot, fp_trans, fp_si,
+            fb_rot, fb_trans, fb_si, b_active, iterations=8,
+        )
+
+        st = WindowState(
+            rot=init_rot, trans=init_trans,
+            vel=jnp.zeros((W, 3)), bias=jnp.zeros((W, 6)), active=active,
+        )
+        tpl = empty_factors(W, W - 1, 0, 0, 0, 0)
+        factors = tpl._replace(
+            prior_pose=tpl.prior_pose._replace(
+                idx=jnp.arange(W, dtype=jnp.int32), rot=fp_rot, trans=fp_trans,
+                sqrt_info=fp_si, active=active,
+            ),
+            between=tpl.between._replace(
+                i=jnp.arange(W - 1, dtype=jnp.int32),
+                j=jnp.arange(1, W, dtype=jnp.int32),
+                rot=fb_rot, trans=fb_trans, sqrt_info=fb_si, active=b_active,
+            ),
+        )
+        res_f = smoother.optimize(st, factors, SmootherConfig(iterations=8))
+
+        for k in range(5):
+            gap = np.asarray(se3.local(
+                Pose3(res_f.state.rot[k], res_f.state.trans[k]),
+                Pose3(res_p.rot[k], res_p.trans[k]),
+            ))
+            assert np.linalg.norm(gap) < 1e-6, (k, gap)
+        # marginal covariance pose block agrees (vel/bias decouple exactly)
+        cov_p = np.asarray(smoother.pose_marginal_covariance(res_p.hessian, 4))
+        cov_f = np.asarray(marginal_covariance(res_f.hessian, 4))[:6, :6]
+        np.testing.assert_allclose(cov_p, cov_f, rtol=1e-5, atol=1e-10)
+
+    def test_f32_conditioning(self):
+        """Extreme info-magnitude spread (sigma floor 1e-6 priors next to
+        O(1) priors) must not destabilize the f32 solve."""
+        W = 4
+        (init_rot, init_trans, fp_rot, fp_trans, fp_si,
+         fb_rot, fb_trans, fb_si) = self._random_graph(W, seed=11)
+        fp_si = fp_si.at[0].set(jnp.eye(6) * 1e6)  # sigma floor: info 1e12 in H
+        active = jnp.ones(W, bool)
+        b_active = jnp.ones(W - 1, bool)
+        args32 = [jnp.asarray(a, jnp.float32) for a in (
+            init_rot, init_trans, fp_rot, fp_trans, fp_si, fb_rot, fb_trans, fb_si)]
+        res = smoother.optimize_pose_window(
+            args32[0], args32[1], active, args32[2], args32[3], args32[4],
+            args32[5], args32[6], args32[7], b_active, iterations=6,
+        )
+        assert np.isfinite(np.asarray(res.trans)).all()
+        assert np.isfinite(np.asarray(res.rot)).all()
+        # state 0 pinned hard to its prior by the 1e-6-sigma factor
+        gap = np.asarray(se3.local(
+            Pose3(args32[2][0], args32[3][0]), Pose3(res.rot[0], res.trans[0])))
+        assert np.linalg.norm(gap) < 1e-4, gap
