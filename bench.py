@@ -558,6 +558,140 @@ def bench_batch(B: int = 32):
     )
 
 
+def bench_ingest(duration_s: float = 11.0):
+    """Sustained live-ingest soak at the Berlin operating regime: loopback
+    UDP at the real sensor rate (1280 x 24832 B lidar datagrams/s + 50 Hz
+    ANPP, src/lidarcallback.cpp:208-209) through
+    LivePipeline(io_backend=\"native\") — the C++ receiver built exactly for
+    this rate. Reports delivered SyncedFrames, ring/queue drops, and
+    end-to-end packet->SyncedFrame latency. Send pacing follows the recorded
+    sensor timestamps (realtime factor 1.0)."""
+    import importlib
+    import os
+    import socket
+    import tempfile
+    import threading
+
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    simulator = importlib.import_module("simulator")
+    import asyncio
+
+    from slamtpu.lidar.ouster import LidarParams
+    from slamtpu.runtime.live import LivePipeline
+    from slamtpu.runtime.replay import STREAM_LIDAR, read_replay
+    from slamtpu.runtime.udp import UdpConfig
+    from slamtpu.runtime.config import PipelineConfig, RegisterConfig
+
+    n_sweeps = int(duration_s * 10) + 2
+    meta = simulator.small_meta(cols=2048, pix=128, cpp=16)
+    cfg = PipelineConfig(
+        meta=meta,
+        lidar=LidarParams(channel_stride=4, range_filter=(0.5, 150.0)),
+        imu=__import__("slamtpu.ins.imu_config", fromlist=["ImuConfig"]).ImuConfig(),
+        register=RegisterConfig(),
+    )
+    # the Berlin-scale raycast is expensive (~6 min for 112 sweeps); the
+    # replay is deterministic (seeded), so cache it across bench runs
+    cache_dir = os.path.expanduser("~/.cache/slamtpu-bench")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"ingest_berlin_{n_sweeps}.rpl")
+    t_gen = 0.0
+    if not os.path.exists(path):
+        t_gen = time.perf_counter()
+        simulator.simulate_replay(path + ".tmp", meta, cfg.lidar, n_sweeps=n_sweeps)
+        os.replace(path + ".tmp", path)
+        t_gen = time.perf_counter() - t_gen
+    packets = list(read_replay(path))
+    lidar_per_sweep = meta.columns_per_frame // meta.columns_per_packet
+
+    send_done = {}  # sweep index -> monotonic time its last lidar pkt was sent
+    arrivals = []  # (frame_id, monotonic arrival time)
+
+    class Collector:
+        def process(self, synced):
+            arrivals.append((synced.scan.frame_id, time.monotonic()))
+
+    def free_port():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    lp, cp = free_port(), free_port()
+    pipe = LivePipeline(
+        cfg, Collector(),
+        lidar_udp=UdpConfig(host="127.0.0.1", port=lp, buffer_size=1 << 24,
+                            receive_timeout_s=2.0),
+        compass_udp=UdpConfig(host="127.0.0.1", port=cp, receive_timeout_s=2.0),
+        io_backend="native",
+        queue_capacity=32,
+    )
+    sent = {"lidar": 0, "compass": 0}
+
+    def sender():
+        pipe.ready.wait(timeout=30.0)
+        out = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        t_start = time.monotonic()
+        ts0 = packets[0][1]
+        n_lidar = 0
+        for stream, ts, payload in packets:
+            lag = (ts - ts0) - (time.monotonic() - t_start)
+            if lag > 0.0005:
+                time.sleep(lag)
+            out.sendto(payload, ("127.0.0.1", lp if stream == STREAM_LIDAR else cp))
+            if stream == STREAM_LIDAR:
+                sent["lidar"] += 1
+                n_lidar += 1
+                if n_lidar % lidar_per_sweep == 0:
+                    send_done[n_lidar // lidar_per_sweep - 1] = time.monotonic()
+            else:
+                sent["compass"] += 1
+        out.close()
+
+    t = threading.Thread(target=sender, daemon=True)
+    t.start()
+    asyncio.run(pipe.run(duration_s=duration_s + 4.0))
+    t.join(timeout=5.0)
+
+    lat_ms = [
+        1e3 * (ta - send_done[fid]) for fid, ta in arrivals if fid in send_done
+    ]
+    n_frames = len(arrivals)
+    # the final sweep never completes (no next frame_id) and the first only
+    # arms the sync window
+    expected = n_sweeps - 2
+    rx_drops = sum(pipe.rx_dropped.values())
+    total_sent = sent["lidar"] + sent["compass"]
+    drop_pct = 100.0 * rx_drops / max(total_sent, 1)
+    byte_rate = sent["lidar"] * 24832 / duration_s
+    print(
+        json.dumps(
+            {
+                "metric": f"native ingest soak at Berlin rate ({duration_s:.0f}s, "
+                          "1280 x 24832B/s lidar + 50 Hz ANPP)",
+                "value": round(n_frames / duration_s, 2),
+                "unit": "SyncedFrames/s delivered",
+                "vs_baseline": round(n_frames / max(expected, 1), 3),
+                "detail": {
+                    "frames_delivered": n_frames,
+                    "frames_expected": expected,
+                    "packets_sent": total_sent,
+                    "ring_drops": rx_drops,
+                    "ring_drop_pct": round(drop_pct, 3),
+                    "queue_dropped_frames": pipe.dropped_frames,
+                    "latency_ms_mean": round(float(np.mean(lat_ms)), 2) if lat_ms else None,
+                    "latency_ms_p95": round(float(np.percentile(lat_ms, 95)), 2) if lat_ms else None,
+                    "lidar_byte_rate_MBps": round(byte_rate / 1e6, 1),
+                    "replay_gen_s": round(t_gen, 1),
+                },
+            }
+        )
+    )
+    assert n_frames >= int(0.99 * expected), (n_frames, expected)
+    assert drop_pct < 1.0, drop_pct
+
+
 def bench_hard_overlap():
     """Config 1 honesty variant: ~60% overlap + out-of-map clutter + 0.72 m
     initial offset — real scan-to-map conditions instead of registering a
@@ -897,5 +1031,7 @@ if __name__ == "__main__":
         bench_odom_berlin()
     elif mode == "hard":
         bench_hard_overlap()
+    elif mode == "ingest":
+        bench_ingest()
     else:
         main()

@@ -54,7 +54,11 @@ class LivePipeline:
         self.io_backend = io_backend
         self._q: queue.Queue = queue.Queue(maxsize=queue_capacity)
         self._stop = threading.Event()
+        # set once both sockets are bound and the drain loop is live —
+        # senders/supervisors can gate on this instead of sleeping
+        self.ready = threading.Event()
         self.dropped_frames = 0
+        self.rx_dropped: dict = {}  # per-stream ring drops (native backend)
         # UDP-level failures, incl. receive-timeout stalls (observable by
         # supervisors; the reference surfaces these via its error callback)
         self.errors: list = []
@@ -114,6 +118,7 @@ class LivePipeline:
             "live pipeline up (lidar :%d, compass :%d)",
             self.lidar_udp.port, self.compass_udp.port,
         )
+        self.ready.set()
         try:
             if duration_s is None:
                 while True:
@@ -163,6 +168,7 @@ class LivePipeline:
             "live pipeline up [native io] (lidar :%d, compass :%d)",
             self.lidar_udp.port, self.compass_udp.port,
         )
+        self.ready.set()
         deadline = None if duration_s is None else _time.monotonic() + duration_s
         warned_at = [0.0] * len(rx)
         loop = asyncio.get_running_loop()
@@ -188,6 +194,8 @@ class LivePipeline:
                             )
                 await asyncio.sleep(0.0 if not idle else 0.002)
         finally:
+            # ring/kernel drop totals, observable after run() returns
+            self.rx_dropped = {stream: r.dropped for r, _cb, stream, _u in rx}
             for r, *_ in rx:
                 r.close()
             self._stop.set()

@@ -257,24 +257,6 @@ class TestMultiRes:
         assert np.linalg.norm(err1[3:]) > np.linalg.norm(err[3:])
 
 
-class TestPlanesParity:
-    def test_exact_parity_with_regmap_objective(self, setup):
-        from slamtpu.ndt.planes import score_grad_hess_planes
-
-        gmap, regmap, source, gt = setup
-        d1, d2, _ = gauss_constants(RES, 0.55)
-        mask = jnp.ones(len(source), bool)
-        for xi in ([0.0] * 6, [0.02, -0.01, 0.03, 0.1, -0.05, 0.08],
-                   [0.1, 0.05, -0.1, 0.5, 0.4, -0.3]):
-            pose = se3.retract(gt, jnp.asarray(xi))
-            a = score_grad_hess_reg(jnp.asarray(source), mask, pose, regmap, d1, d2, GRID)
-            b = score_grad_hess_planes(jnp.asarray(source), mask, pose, regmap, d1, d2, GRID)
-            assert int(a.n_contrib) == int(b.n_contrib)
-            np.testing.assert_allclose(float(b.score), float(a.score), rtol=1e-11)
-            np.testing.assert_allclose(np.asarray(b.grad), np.asarray(a.grad), rtol=1e-9, atol=1e-12)
-            np.testing.assert_allclose(np.asarray(b.hess), np.asarray(a.hess), rtol=1e-9, atol=1e-9)
-
-
 class TestFusedKernel:
     def test_fused_matches_reg_objective(self, setup):
         """Pallas fused kernel (interpret mode on CPU) vs the XLA objective."""
