@@ -692,6 +692,106 @@ def bench_ingest(duration_s: float = 11.0):
     assert drop_pct < 1.0, drop_pct
 
 
+def bench_cpu_ratio(n_rep: int = 3):
+    """BASELINE 'Speedup >= 10x ndt_omp 8-core CPU' evidence (the target had
+    no supporting number through round 2). Two anchors:
+
+    1. The IDENTICAL headline registration task (128k pts, 1.0 m voxels,
+       DIRECT7, <=30 Newton iters) on this host's JAX CPU backend via the
+       XLA objective path (newton_align_reg — compiled native vector code,
+       the fair CPU proxy; the Pallas kernel would run interpret-mode and
+       inflate the ratio). The TPU number comes from a subprocess running
+       the default mode so both backends measure the same program version.
+    2. The reference's own measured SVN stage-1 cost: 70-90 ms/iteration on
+       its CPU (non-AVX2, OpenMP; /root/reference/output/output.txt:2-41)
+       against our whole-registration time on TPU.
+
+    The host here has os.cpu_count() cores (document honestly: the
+    reference's ndt_omp config used 8 threads; scale the per-core ratio
+    accordingly)."""
+    import os
+    import subprocess
+
+    # TPU side first, in a subprocess (this process will pin CPU)
+    r = subprocess.run([sys.executable, str(Path(__file__))], capture_output=True,
+                       text=True, timeout=900)
+    tpu = None
+    for line in r.stdout.splitlines():
+        if line.startswith("{"):
+            tpu = json.loads(line)
+    assert tpu is not None, f"TPU headline run failed: {r.stdout[-500:]} {r.stderr[-500:]}"
+    tpu_ms = tpu["detail"]["ms_per_registration"]
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from slamtpu.core import se3
+    from slamtpu.mapping import gaussian_map
+    from slamtpu.ndt import NewtonConfig, build_regmap, newton_align_reg
+
+    assert jax.default_backend() == "cpu"
+    world, pts, mask, origin = _world()
+    rng = np.random.default_rng(42)
+    gmap = jax.jit(
+        gaussian_map.build_map, static_argnames=("capacity", "min_points_per_voxel")
+    )(pts, mask, origin, RESOLUTION, capacity=MAP_CAPACITY)
+    regmap = build_regmap(gmap, grid_shape=(192, 192, 48))
+    src = jnp.asarray(world + rng.normal(0, 0.01, world.shape).astype(np.float32))
+    true_xi = jnp.asarray([0.004, -0.006, 0.02, 0.6, -0.4, 0.08], jnp.float32)
+    gt = se3.expmap(true_xi)
+    src_body = se3.transform_points(se3.inverse(gt), src)
+    cfg = NewtonConfig(resolution=RESOLUTION, max_iterations=MAX_ITERS, trans_eps=1e-4)
+    align = jax.jit(newton_align_reg, static_argnames=("cfg", "grid_shape"))
+
+    res = align(src_body, mask, regmap, se3.identity(dtype=jnp.float32), cfg,
+                (192, 192, 48))
+    jax.block_until_ready(res.pose.trans)
+    err = np.asarray(se3.local(gt, res.pose))
+    te, re_ = float(np.linalg.norm(err[3:])), float(np.linalg.norm(err[:3]))
+    assert te < 0.05 and re_ < 0.035, (te, re_)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        res = align(src_body, mask, regmap, se3.identity(dtype=jnp.float32), cfg,
+                    (192, 192, 48))
+    jax.block_until_ready(res.pose.trans)
+    cpu_ms = (time.perf_counter() - t0) / n_rep * 1e3
+
+    cores = os.cpu_count() or 1
+    ratio = cpu_ms / tpu_ms
+    # anchor 2: reference SVN stage-1, 70-90 ms/iter x ~30 iters would be
+    # 2.1-2.7 s/alignment on its CPU vs our tpu_ms for a full registration
+    ref_svn_low, ref_svn_high = 70.0, 90.0
+    print(
+        json.dumps(
+            {
+                "metric": "TPU vs CPU registration speedup (identical 128k-pt task)",
+                "value": round(ratio, 1),
+                "unit": f"x ({cores}-core host CPU, XLA backend)",
+                "vs_baseline": round(ratio / (10.0 * 8 / cores), 2),
+                "detail": {
+                    "cpu_ms_per_registration": round(cpu_ms, 1),
+                    "tpu_ms_per_registration": round(tpu_ms, 2),
+                    "host_cores": cores,
+                    "ratio_vs_8core_equivalent": round(ratio / (8 / cores), 1),
+                    "cpu_iters": int(res.iterations),
+                    "cpu_trans_err_m": round(te, 5),
+                    "reference_svn_stage1_ms_per_iter": [ref_svn_low, ref_svn_high],
+                    "reference_svn_per_alignment_s_at_30it": [
+                        round(ref_svn_low * 30 / 1e3, 2),
+                        round(ref_svn_high * 30 / 1e3, 2),
+                    ],
+                    "tpu_vs_reference_svn_alignment": [
+                        round(ref_svn_low * 30 / tpu_ms, 0),
+                        round(ref_svn_high * 30 / tpu_ms, 0),
+                    ],
+                },
+            }
+        )
+    )
+
+
 def bench_hard_overlap():
     """Config 1 honesty variant: ~60% overlap + out-of-map clutter + 0.72 m
     initial offset — real scan-to-map conditions instead of registering a
@@ -1033,5 +1133,7 @@ if __name__ == "__main__":
         bench_hard_overlap()
     elif mode == "ingest":
         bench_ingest()
+    elif mode == "cpu_ratio":
+        bench_cpu_ratio()
     else:
         main()

@@ -107,6 +107,24 @@ def _register_step(
         gmap = build_gmap()
         from ..ndt import build_regmap, gicp_align, gicp_align_fused, gicp_map
 
+        if cfg.gicp_aniso:
+            # plane-to-plane mode: per-point source covariances from the
+            # source scan's own voxel stats, (C_tgt + R C_src R^T)^-1 fused
+            # per pair (gicp_omp capability, registercallback.cpp:56-61)
+            from ..ndt import gicp_align_aniso, gicp_map_aniso, source_point_covariances
+
+            regmap = build_regmap(
+                gicp_map_aniso(gmap), grid_shape=grid_shape or (256, 256, 64)
+            )
+            src_cov = source_point_covariances(
+                new_points, new_mask, cfg.resolution,
+                capacity=min(capacity, 1 << 14),
+                min_points_per_voxel=min_points,
+            )
+            return gicp_align_aniso(
+                new_points, new_mask, src_cov, regmap, init_guess, cfg,
+                grid_shape or (256, 256, 64),
+            )
         regmap = build_regmap(gicp_map(gmap), grid_shape=grid_shape or (256, 256, 64))
         if _use_fused(new_points) and grid_shape is not None:
             return gicp_align_fused(
@@ -332,6 +350,7 @@ class OdomNdtApp:
             else reg.ndt_transform_epsilon,
             use_direct1=reg.search_method == "DIRECT1",
             gicp_max_corr_dist=reg.gicp_corr_dist_threshold,
+            gicp_aniso=reg.gicp_source_cov == "anisotropic",
         )
         self.svn_cfg = None
         self._key = None

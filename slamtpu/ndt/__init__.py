@@ -1,5 +1,14 @@
 from .constants import gauss_constants
-from .gicp import gicp_align, gicp_map, score_grad_hess_gicp
+from .gicp import (
+    gicp_align,
+    gicp_align_aniso,
+    gicp_map,
+    gicp_map_aniso,
+    regularize_plane_covariance,
+    score_grad_hess_gicp,
+    score_grad_hess_gicp_aniso,
+    source_point_covariances,
+)
 from .pallas_math import (
     gicp_align_fused,
     newton_align_fused,
@@ -29,8 +38,13 @@ __all__ = [
     "build_regmap",
     "score_grad_hess_reg",
     "gicp_map",
+    "gicp_map_aniso",
     "gicp_align",
+    "gicp_align_aniso",
+    "regularize_plane_covariance",
     "score_grad_hess_gicp",
+    "score_grad_hess_gicp_aniso",
+    "source_point_covariances",
     "newton_align_fused",
     "newton_align_fused_batch",
     "gicp_align_fused",

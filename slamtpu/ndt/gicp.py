@@ -100,3 +100,131 @@ def gicp_align(
         )
 
     return _newton_loop(eval_obj, points.dtype, init_pose, cfg)
+
+
+# --- anisotropic-source (plane-to-plane) GICP -------------------------------
+#
+# The isotropic mode above bakes C_src = sigma^2 I into the map, discarding
+# the source scan's surface anisotropy — the defining feature of gicp_omp's
+# plane-to-plane cost (the reference's GICP engine, registercallback.cpp:
+# 56-61). This mode computes per-point source covariances from the source
+# scan's OWN voxel statistics and fuses (C_tgt + R C_src R^T)^-1 per pair.
+
+
+def regularize_plane_covariance(cov: jax.Array, eps: float = 1e-3) -> jax.Array:
+    """GICP covariance regularization: eigenvalues replaced by (eps, 1, 1)
+    keeping eigenvectors — every Gaussian becomes a disc with its normal
+    direction squashed to eps (gicp_omp's surface model; Segal et al.)."""
+    evals, evecs = linalg.sym_eig3x3(cov)  # ascending
+    new_vals = jnp.broadcast_to(
+        jnp.asarray([eps, 1.0, 1.0], cov.dtype), evals.shape
+    )
+    return jnp.einsum("...ij,...j,...kj->...ik", evecs, new_vals, evecs)
+
+
+def gicp_map_aniso(gmap: GaussianMap, eps: float = 1e-3) -> GaussianMap:
+    """Target map for anisotropic GICP: the payload's icov slot carries the
+    plane-REGULARIZED COVARIANCE instead of an inverse — fusion with the
+    rotated source covariance and the 3x3 inversion happen per pair at
+    evaluation time (score_grad_hess_gicp_aniso)."""
+    cov_r = regularize_plane_covariance(gmap.cov, eps)
+    cov_r = jnp.where(gmap.valid[:, None, None], cov_r, 0.0)
+    return gmap._replace(icov=cov_r)
+
+
+def source_point_covariances(
+    points: jax.Array,
+    mask: jax.Array,
+    resolution,
+    capacity: int = 8192,
+    min_points_per_voxel: int = 4,
+    fallback_sigma: float = 0.05,
+    eps: float = 1e-3,
+) -> jax.Array:
+    """(N, 3, 3) per-point source covariances: each point inherits the
+    plane-regularized covariance of ITS OWN voxel in the source scan (the
+    voxelized analog of gicp_omp's per-point kNN covariances). Points in
+    sparse voxels fall back to the isotropic sigma^2 I."""
+    from ..mapping import gaussian_map, voxel
+
+    dtype = points.dtype
+    big = jnp.asarray(1e6, dtype)
+    masked = jnp.where(mask[:, None], points, big)
+    origin = (
+        jnp.floor(jnp.min(masked, axis=0) / resolution) - 1.0
+    ) * resolution
+    gmap_src = gaussian_map.build_map(
+        points, mask, origin, resolution,
+        capacity=capacity, min_points_per_voxel=min_points_per_voxel,
+    )
+    keys = voxel.key_of_points(points, origin, 1.0 / resolution, mask)
+    slot, found = voxel.lookup(gmap_src.keys, keys)
+    good = found & gmap_src.valid[slot]
+    cov = regularize_plane_covariance(gmap_src.cov[slot], eps)
+    iso = (fallback_sigma**2) * jnp.eye(3, dtype=dtype)
+    return jnp.where(good[:, None, None], cov, iso)
+
+
+def score_grad_hess_gicp_aniso(
+    points: jax.Array,
+    mask: jax.Array,
+    src_cov: jax.Array,  # (N, 3, 3) body-frame source covariances
+    pose,
+    regmap: regmap_mod.RegMap,  # from gicp_map_aniso + build_regmap
+    grid_shape: tuple,
+    hess_lambda: float = 1e-6,
+    max_mahal: float = 9.0,
+    max_corr_dist: float = 5.0,
+) -> NdtObjective:
+    """Plane-to-plane GICP cost: e = r^T (C_tgt + R C_src R^T)^-1 r per
+    point-voxel pair, negated into the maximize convention. Gauss-Newton
+    treats the fused covariance as fixed at the evaluation pose (the same
+    approximation gicp_omp's optimizer makes per iteration)."""
+    from .objective import sanitize_points
+
+    points, mask = sanitize_points(points, mask)
+    tp, mu, cov_t, active = regmap_mod.gather_pair_data(
+        points, mask, pose, regmap, grid_shape
+    )
+    R = pose.rot
+    rc = jnp.einsum("ab,nbc,dc->nad", R, src_cov, R)  # R C_src R^T
+    fused_inv = linalg.inv3x3(cov_t + rc[:, None, :, :])
+    r = tp[:, None, :] - mu
+    icx = jnp.einsum("nkij,nkj->nki", fused_inv, r)
+    mahal = jnp.maximum(jnp.einsum("nki,nki->nk", r, icx), 0.0)
+    dist2 = jnp.sum(r**2, axis=-1)
+    inlier = (
+        active & (mahal <= max_mahal) & (dist2 <= max_corr_dist**2)
+        & jnp.isfinite(mahal)
+    )
+    w = inlier.astype(points.dtype)
+
+    J = point_jacobian(points, pose)
+    b = jnp.einsum("nk,nki->ni", w, icx)
+    M = jnp.einsum("nk,nkij->nij", w, fused_inv)
+    grad = -2.0 * jnp.einsum("nia,ni->a", J, b)
+    hess = -2.0 * jnp.einsum("nia,nij,njb->ab", J, M, J)
+    hess = hess + hess_lambda * jnp.eye(6, dtype=hess.dtype)
+    score = -jnp.sum(jnp.where(inlier, mahal, 0.0))
+    return NdtObjective(score, grad, hess, jnp.sum(inlier, dtype=jnp.int32))
+
+
+def gicp_align_aniso(
+    points: jax.Array,
+    mask: jax.Array,
+    src_cov: jax.Array,
+    regmap: regmap_mod.RegMap,
+    init_pose,
+    cfg: NewtonConfig = NewtonConfig(),
+    grid_shape: tuple = (256, 256, 64),
+) -> NewtonResult:
+    """Newton plane-to-plane GICP (regmap from gicp_map_aniso + build_regmap,
+    src_cov from source_point_covariances)."""
+
+    def eval_obj(pose):
+        return score_grad_hess_gicp_aniso(
+            points, mask, src_cov, pose, regmap, grid_shape, cfg.hess_lambda,
+            max_corr_dist=cfg.gicp_max_corr_dist,
+        )
+
+    return _newton_loop(eval_obj, points.dtype, init_pose, cfg)

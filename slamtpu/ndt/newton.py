@@ -54,6 +54,10 @@ class NewtonConfig(NamedTuple):
     # (the reference's gicp_corr_dist_threshold; voxel correspondences are
     # <= ~1.5x resolution away, so the 5 m default is inactive by design)
     gicp_max_corr_dist: float = 5.0
+    # GICP engine only: plane-to-plane mode with per-point source covariances
+    # from the source scan's own voxel stats (gicp_omp's defining feature);
+    # False keeps the fast isotropic sigma^2 I fusion baked into the map
+    gicp_aniso: bool = False
 
 
 class NewtonResult(NamedTuple):

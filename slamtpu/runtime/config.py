@@ -55,6 +55,7 @@ _EXTENSION_KEYS = {
     "reg_grid_shape",
     "map_rebuild_every",
     "fused_inner_iters",
+    "gicp_source_cov",
 }
 
 
@@ -76,6 +77,10 @@ class RegisterConfig:
     regularization_scale_factor: float = 10.0  # NDT prior-pose penalty weight
     gicp_corr_dist_threshold: float = 5.0
     gicp_transform_epsilon: float = 1e-4
+    # "isotropic": sigma^2 I source covariance baked into the map (fast mode);
+    # "anisotropic": plane-to-plane with per-point source covariances from
+    # the source scan's own voxel stats (gicp_omp fidelity mode)
+    gicp_source_cov: str = "isotropic"
     svn_resolution: float = 1.0
     svn_particles: int = 20
     svn_max_iterations: int = 100
@@ -141,6 +146,9 @@ class RegisterConfig:
             ),
             gicp_transform_epsilon=float(
                 p.get("gicp_transform_epsilon", defaults.gicp_transform_epsilon)
+            ),
+            gicp_source_cov=str(
+                p.get("gicp_source_cov", defaults.gicp_source_cov)
             ),
             svn_resolution=float(p.get("svn_ndt_resolution", defaults.svn_resolution)),
             svn_particles=int(p.get("svn_ndt_number_particle", defaults.svn_particles)),

@@ -162,6 +162,23 @@ class TestRegistrationMethodDispatch:
         errs = self._run(replay, "GICP")
         assert errs.max() < 0.5, errs
 
+    def test_gicp_anisotropic(self, replay):
+        path, gt, cfg = replay
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg,
+            register=_dc.replace(
+                cfg.register, method="GICP", gicp_source_cov="anisotropic"
+            ),
+        )
+        app = OdomNdtApp(cfg, window=4)
+        assert app.newton_cfg.gicp_aniso
+        traj = app.run_replay(path, max_keyframes=4)
+        errs = traj_errors(traj, gt)
+        assert np.isfinite(errs).all()
+        assert errs.max() < 0.5, errs
+
     def test_multires(self, replay):
         errs = self._run(replay, "NDT_OMP_MULTIRES")
         assert errs.max() < 0.3, errs

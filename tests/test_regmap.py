@@ -410,3 +410,114 @@ class TestFusedGicp:
         err = np.asarray(se3.local(se3.cast(gt, jnp.float32), res.pose))
         assert np.linalg.norm(err[3:]) < 0.06, err
         assert np.linalg.norm(err[:3]) < 0.035, err
+
+
+class TestGicpAniso:
+    """Plane-to-plane GICP with per-point source covariances (the gicp_omp
+    capability the isotropic mode simplified away, registercallback.cpp:56-61)."""
+
+    def test_regularize_plane_covariance_eigenvalues(self):
+        from slamtpu.ndt import regularize_plane_covariance
+
+        rng = np.random.default_rng(3)
+        A = rng.normal(size=(5, 3, 3))
+        cov = A @ np.swapaxes(A, -1, -2) + 0.01 * np.eye(3)
+        reg = np.asarray(regularize_plane_covariance(jnp.asarray(cov), eps=1e-3))
+        for k in range(5):
+            w = np.linalg.eigvalsh(reg[k])
+            np.testing.assert_allclose(np.sort(w), [1e-3, 1.0, 1.0], rtol=1e-4)
+
+    def test_source_covariances_capture_plane_normals(self):
+        from slamtpu.ndt import source_point_covariances
+
+        # z=0 plane: per-point covariance's smallest eigenvector ~ +-z
+        rng = np.random.default_rng(5)
+        pts = np.stack(
+            [rng.uniform(0, 8, 4000), rng.uniform(0, 8, 4000),
+             rng.normal(0, 0.01, 4000)], -1
+        ).astype(np.float32)
+        cov = np.asarray(
+            source_point_covariances(
+                jnp.asarray(pts), jnp.ones(len(pts), bool), 1.0, capacity=512
+            )
+        )
+        w, V = np.linalg.eigh(cov)
+        # most points sit in dense voxels -> anisotropic regularized covs
+        frac_aniso = np.mean(w[:, 0] < 0.01)
+        assert frac_aniso > 0.9, frac_aniso
+        normals = V[:, :, 0]
+        aligned = np.abs(normals[:, 2]) > 0.99
+        assert np.mean(aligned[w[:, 0] < 0.01]) > 0.95
+
+    def test_gicp_aniso_converges_two_planes(self, setup):
+        from slamtpu.ndt import (NewtonConfig, gicp_align_aniso, gicp_map_aniso,
+                                 source_point_covariances)
+
+        gmap, _, source, gt = setup
+        greg = build_regmap(gicp_map_aniso(gmap), grid_shape=GRID)
+        src = jnp.asarray(source)
+        mask = jnp.ones(len(source), bool)
+        src_cov = source_point_covariances(src, mask, RES, capacity=2048)
+        init = se3.retract(gt, jnp.asarray([0.02, -0.03, 0.05, 0.2, -0.15, 0.1]))
+        res = jax.jit(gicp_align_aniso, static_argnames=("cfg", "grid_shape"))(
+            src, mask, src_cov, greg, init,
+            NewtonConfig(resolution=RES, max_iterations=50, trans_eps=5e-3), GRID,
+        )
+        err = np.asarray(se3.local(gt, res.pose))
+        # the hard (1, 1, eps) surface model leaves translation along the two
+        # planes' intersection line (y) only noise-constrained — assert the
+        # surface-normal directions and rotation, the dofs plane-to-plane
+        # actually observes on this fixture
+        assert abs(err[3]) < 0.05 and abs(err[5]) < 0.05, err
+        assert np.linalg.norm(err[:3]) < 0.035, err
+
+    def test_aniso_differs_from_isotropic_on_curved_scene(self):
+        """On a curved surface the source anisotropy varies per point; the
+        plane-to-plane cost must be measurably different from the baked
+        sigma^2-I fusion (both finite and convergent)."""
+        from slamtpu.mapping import gaussian_map
+        from slamtpu.ndt import (NewtonConfig, gicp_align, gicp_align_aniso,
+                                 gicp_map, gicp_map_aniso,
+                                 source_point_covariances)
+
+        rng = np.random.default_rng(9)
+        n = 6000
+        # sine-ridged sheet: normals rotate continuously across x
+        x = rng.uniform(0, 12, n)
+        y = rng.uniform(0, 12, n)
+        z = 1.2 * np.sin(x * 0.8) + 0.6 * np.sin(y * 0.6) + rng.normal(0, 0.01, n)
+        base = np.stack([x, y, z], -1)  # f64: match the map's dtype under x64
+        rpy = np.array([0.0, np.deg2rad(3.0), np.deg2rad(8.0)])
+        from slamtpu.core import so3 as so3_mod
+
+        R = np.asarray(so3_mod.rpy_to_rot(jnp.asarray(rpy)))
+        t = np.array([0.3, -0.2, 0.15])
+        target = base @ R.T + t
+        origin = np.floor(target.min(0)) - 8.0
+        gmap = gaussian_map.build_map(
+            jnp.asarray(target), jnp.ones(n, bool), jnp.asarray(origin),
+            RES, capacity=4096,
+        )
+        gt = se3.Pose3(jnp.asarray(R), jnp.asarray(t))
+        src = jnp.asarray(base)
+        mask = jnp.ones(n, bool)
+        init = se3.retract(gt, jnp.asarray([0.02, -0.02, 0.04, 0.15, -0.1, 0.1]))
+        cfg = NewtonConfig(resolution=RES, max_iterations=50, trans_eps=5e-3)
+
+        iso = gicp_align(
+            src, mask, build_regmap(gicp_map(gmap), grid_shape=GRID), init, cfg, GRID
+        )
+        src_cov = source_point_covariances(src, mask, RES, capacity=4096)
+        aniso = gicp_align_aniso(
+            src, mask, src_cov,
+            build_regmap(gicp_map_aniso(gmap), grid_shape=GRID), init, cfg, GRID,
+        )
+        for res in (iso, aniso):
+            assert np.isfinite(np.asarray(res.pose.trans)).all()
+            err = np.asarray(se3.local(gt, res.pose))
+            assert np.linalg.norm(err[3:]) < 0.08, err
+        # the two cost models land on measurably different optima
+        gap = np.linalg.norm(
+            np.asarray(se3.local(iso.pose, aniso.pose))
+        )
+        assert gap > 1e-4, gap
