@@ -244,3 +244,105 @@ class TestBatchAlignSharded:
                 se3.local(gts[b], jax.tree.map(lambda a: a[b], sh.pose))
             )
             assert np.linalg.norm(err[3:]) < 0.05, (b, err)
+
+
+class TestCollectiveCounts:
+    """Pin the per-step collective budget from the traced jaxpr — the
+    driver-visible proof that the sharded paths communicate exactly as
+    documented (SURVEY.md section 2.4: 'psum voxel stats over ICI', 'one
+    43-float psum per Newton step'). A regression that silently adds
+    collectives (e.g. an accidental replication constraint) fails here."""
+
+    NAMES = {"psum", "all_gather", "ppermute", "reduce_scatter", "all_to_all"}
+
+    @staticmethod
+    def _count(jx):
+        from collections import Counter
+
+        c = Counter()
+
+        def walk(j):
+            for eqn in j.eqns:
+                if eqn.primitive.name in TestCollectiveCounts.NAMES:
+                    c[eqn.primitive.name] += 1
+                for v in eqn.params.values():
+                    for sub in (v if isinstance(v, (list, tuple)) else [v]):
+                        if hasattr(sub, "jaxpr"):
+                            walk(sub.jaxpr)
+                        elif hasattr(sub, "eqns"):
+                            walk(sub)
+
+        walk(jx.jaxpr)
+        return dict(c)
+
+    def _world(self, n=4096):
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.uniform(0, 30, (n, 3)), jnp.float32)
+        return pts, jnp.ones(n, bool), jnp.asarray([-8.0, -8.0, -8.0], jnp.float32)
+
+    def test_lo_train_step_collectives(self):
+        mesh = make_mesh()
+        pts, mask, origin = self._world()
+        stats = gaussian_map.stats_from_points(
+            pts, mask, origin, jnp.asarray(2.0, jnp.float32), 1024
+        )
+        pose0 = se3.identity(dtype=jnp.float32)
+        jx = jax.make_jaxpr(
+            lambda p, m, st, g: lo_train_step(
+                mesh, p, m, st, g, resolution=2.0, capacity=1024,
+                grid_shape=(32, 32, 16), max_iterations=4, inner_iters=2,
+                min_points_per_voxel=3, block=128,
+            )
+        )(pts, mask, stats, pose0)
+        counts = self._count(jx)
+        # 4 psums per objective evaluation (score, grad, hess, n_contrib) x
+        # 2 evaluation sites (while-loop body + final eval at the solution);
+        # the while-loop body counts ONCE regardless of iteration count
+        assert counts.get("psum", 0) == 8, counts
+        # folding the scan's stats into the map: one all_gather per stat
+        # buffer (keys, n, sx, sxx, overflow)
+        assert counts.get("all_gather", 0) == 5, counts
+        assert counts.get("ppermute", 0) == 0, counts
+        assert counts.get("all_to_all", 0) == 0, counts
+
+    def test_batch_align_sharded_zero_collectives(self):
+        """The data-parallel serving mode must be communication-free in
+        steady state: batch axis sharded, map replicated, no cross-chip
+        reductions at all."""
+        from slamtpu.dist import batch_align_sharded
+        from slamtpu.ndt import build_regmap
+
+        mesh = make_mesh()
+        pts, mask, origin = self._world()
+        stats = gaussian_map.stats_from_points(
+            pts, mask, origin, jnp.asarray(2.0, jnp.float32), 1024
+        )
+        gmap = gaussian_map.finalize(stats, 3)
+        rmap = build_regmap(gmap, grid_shape=(32, 32, 16))
+        B = len(jax.devices())
+        bpts = jnp.broadcast_to(pts[None, :128], (B, 128, 3))
+        bmask = jnp.ones((B, 128), bool)
+        init_b = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+            se3.identity(dtype=jnp.float32),
+        )
+        jx = jax.make_jaxpr(
+            lambda p, m, r, i: batch_align_sharded(
+                mesh, p, m, r, i, NewtonConfig(resolution=2.0, max_iterations=2),
+                (32, 32, 16), inner_iters=2, block=128,
+            )
+        )(bpts, bmask, rmap, init_b)
+        counts = self._count(jx)
+        assert counts == {}, counts
+
+    def test_build_map_sharded_collectives(self):
+        mesh = make_mesh()
+        pts, mask, origin = self._world()
+        jx = jax.make_jaxpr(
+            lambda p, m: build_map_sharded(
+                mesh, p, m, origin, 2.0, 1024, min_points_per_voxel=3
+            )
+        )(pts, mask)
+        counts = self._count(jx)
+        assert counts.get("all_gather", 0) == 5, counts
+        assert counts.get("psum", 0) == 0, counts
