@@ -305,9 +305,15 @@ def bench_lo_berlin(n_sweeps: int = 30, rebuild_every: int = 4):
             reg_grid_shape=(256, 256, 32),
             map_rebuild_every=rebuild_every,
         ),
+        deskew=True,
     )
     path = os.path.join(tempfile.mkdtemp(), "berlin.rpl")
-    gt = simulator.simulate_replay(path, meta, cfg.lidar, n_sweeps=n_sweeps)
+    # skewed=True: each column rendered from the sensor pose at its own
+    # timestamp — what a real spinning lidar measures (and what makes the
+    # deskew path honest work instead of a no-op)
+    gt = simulator.simulate_replay(
+        path, meta, cfg.lidar, n_sweeps=n_sweeps, skewed=True
+    )
     app = LoSvnApp(cfg)
     traj, dt, warm_kf_s = _timed_replay(app, path)
     gt_poses = [Pose3(jnp.asarray(R), jnp.asarray(p)) for R, p in gt[1:]]
@@ -324,10 +330,19 @@ def bench_lo_berlin(n_sweeps: int = 30, rebuild_every: int = 4):
         [se3.between(traj1[0].pose, e.pose) for e in traj1],
         [se3.between(g0, g) for g in gt_poses[: len(traj1)]],
     )
+    # deskew-off comparison on the same skewed replay (the reference's
+    # behavior: alpha computed, never applied — dataframe.hpp:406-433)
+    cfg_nd = _dc.replace(cfg, deskew=False)
+    app_nd = LoSvnApp(cfg_nd)
+    traj_nd, dt_nd, _warm_nd = _timed_replay(app_nd, path)
+    ate_nd = ate_rmse(
+        [se3.between(traj_nd[0].pose, e.pose) for e in traj_nd],
+        [se3.between(g0, g) for g in gt_poses[: len(traj_nd)]],
+    )
     print(
         json.dumps(
             {
-                "metric": f"SVN-NDT LO at Berlin scale (2048x128 stride 4, {n_sweeps} sweeps, 2^17 capacity)",
+                "metric": f"SVN-NDT LO at Berlin scale (2048x128 stride 4, {n_sweeps} skewed sweeps, deskew on, 2^17 capacity)",
                 "value": round(warm_kf_s or len(traj) / dt, 2),
                 "unit": "keyframes/s (steady-state)",
                 "vs_baseline": round((warm_kf_s or len(traj) / dt) / 10.0, 2),
@@ -337,6 +352,7 @@ def bench_lo_berlin(n_sweeps: int = 30, rebuild_every: int = 4):
                     "stage_ms": app.timer.summary(),
                     "parity_rebuild1_kf_s": round(warm1 or len(traj1) / dt1, 2),
                     "parity_rebuild1_ate_m": round(ate1, 4),
+                    "deskew_off_ate_m": round(ate_nd, 4),
                 },
             }
         )
@@ -374,9 +390,12 @@ def bench_odom_berlin(n_sweeps: int = 30):
             min_points_per_voxel=4,
             reg_grid_shape=(160, 160, 32),
         ),
+        deskew=True,
     )
     path = os.path.join(tempfile.mkdtemp(), "berlin_odom.rpl")
-    gt = simulator.simulate_replay(path, meta, cfg.lidar, n_sweeps=n_sweeps)
+    gt = simulator.simulate_replay(
+        path, meta, cfg.lidar, n_sweeps=n_sweeps, skewed=True
+    )
     app = OdomNdtApp(cfg, window=6)
     traj, dt, warm_kf_s = _timed_replay(app, path)
     gt_poses = [Pose3(jnp.asarray(R), jnp.asarray(p)) for R, p in gt[1:]]

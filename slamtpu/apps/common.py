@@ -139,11 +139,17 @@ def maybe_deskew(scan: ScanBuffer, synced: SyncedFrame, ref_lla, enabled: bool) 
     if not enabled:
         return scan
     from ..lidar.deskew import deskew_scan
+    from ..runtime.sync import interpolate_at
 
-    # ins_pose_ned returns host f64; the scan path runs in the scan dtype
-    dt = scan.points.dtype
-    pose_s = se3.cast(ins_pose_ned(synced.ins[0], ref_lla), dt)
-    pose_e = se3.cast(ins_pose_ned(synced.ins[-1], ref_lla), dt)
+    # alpha is normalized over the SCAN's column span (lidar.project), not
+    # over the sync interval — which starts at the PREVIOUS sweep's end, ~5 ms
+    # (= 1.5 cm at 3 m/s) before the first column. Interpolate the nav window
+    # at the scan's own start/end timestamps so alpha=0/1 match the poses.
+    dt = scan.points.dtype  # ins_pose_ned returns host f64; scan path in f32
+    nav_s = interpolate_at(synced.ins, synced.scan.timestamp)
+    nav_e = interpolate_at(synced.ins, synced.scan.timestamp_end)
+    pose_s = se3.cast(ins_pose_ned(nav_s, ref_lla), dt)
+    pose_e = se3.cast(ins_pose_ned(nav_e, ref_lla), dt)
     return deskew_scan(scan, pose_s, pose_e)
 
 
@@ -161,7 +167,15 @@ class MapRebuildCadence:
         if grid_shape is not None:
             from ..ndt.regmap import empty_regmap
 
-            self.regmap = empty_regmap(register_cfg.map_capacity, grid_shape)
+            # the KDTREE builder dilates 27 ways (default 6V rows) vs
+            # DIRECT7's 7 (4V); the cached empty map must match its shapes
+            kdtree = "KDTREE" in (
+                register_cfg.search_method, register_cfg.svn_search_method
+            )
+            self.regmap = empty_regmap(
+                register_cfg.map_capacity, grid_shape,
+                dilated_capacity=6 * register_cfg.map_capacity if kdtree else None,
+            )
         else:
             self.regmap = None
 

@@ -345,6 +345,16 @@ class LigoTcApp:
         lidar_cov = 0.5 * (lidar_cov + lidar_cov.T)
         ev, evec = np.linalg.eigh(lidar_cov)
         lidar_cov = evec @ np.diag(np.maximum(ev, 1e-12)) @ evec.T
+        # registration-bias variance floor (RegisterConfig.lidar_*_sigma_floor)
+        # — see apps/odom_ndt.py: the point-count-scaled Hessian prices the
+        # between factor far below the estimator's real mm-class bias
+        floor = np.concatenate(
+            [
+                np.full(3, self.cfg.register.lidar_rot_sigma_floor),
+                np.full(3, self.cfg.register.lidar_trans_sigma_floor),
+            ]
+        )
+        lidar_cov = lidar_cov + np.diag(floor * floor)
         rel = np_between(prev["pose"], res_pose)
 
         self._trust, scale = robust.trust_gain_update_np(

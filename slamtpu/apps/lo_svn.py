@@ -86,7 +86,9 @@ def _lo_svn_step(
         regmap = regmap_in
         n_voxels = gmap.num_valid()
     else:
-        from ..ndt import build_regmap, svn_align_reg
+        from ..ndt import build_regmap, build_regmap_kdtree, svn_align_reg
+
+        _builder = build_regmap_kdtree if svn_cfg.kd_radius > 0 else build_regmap
 
         def do_build(_):
             gmap = gaussian_map.build_map(
@@ -97,7 +99,7 @@ def _lo_svn_step(
                 capacity=capacity,
                 min_points_per_voxel=min_points,
             )
-            rm = build_regmap(gmap, grid_shape=grid_shape)
+            rm = _builder(gmap, grid_shape=grid_shape)
             # match the cache's dtypes exactly (x64 test mode widens some
             # scalars) — cond branches must agree
             return jax.tree.map(lambda a, e: a.astype(e.dtype), rm, regmap_in)
@@ -155,6 +157,10 @@ class LoSvnApp:
             step_size=reg.svn_step_size,
             stop_thresh=reg.svn_stop_thresh,
             use_direct1=reg.svn_search_method == "DIRECT1",
+            kd_radius=reg.svn_resolution
+            if reg.svn_search_method == "KDTREE"
+            else 0.0,
+            polish_iters=reg.svn_polish_iters,
         )
         self._trajectory: List[TrajectoryEntry] = []
         self._stats_archive = StatsArchive()

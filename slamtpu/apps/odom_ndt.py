@@ -135,13 +135,17 @@ def _register_step(
             new_points, new_mask, regmap, init_guess, cfg, grid_shape or (256, 256, 64)
         )
     if method == "SVNNDT":
-        from ..ndt import NewtonResult, build_regmap, svn_align, svn_align_reg
+        from ..ndt import (NewtonResult, build_regmap, build_regmap_kdtree,
+            svn_align, svn_align_reg)
 
         gmap = build_gmap()
         if grid_shape is None:
             res = svn_align(new_points, new_mask, gmap, init_guess, key, svn_cfg)
         else:
-            regmap = build_regmap(gmap, grid_shape=grid_shape)
+            _builder = (
+                build_regmap_kdtree if svn_cfg.kd_radius > 0 else build_regmap
+            )
+            regmap = _builder(gmap, grid_shape=grid_shape)
             res = svn_align_reg(
                 new_points, new_mask, regmap, init_guess, key, svn_cfg, grid_shape
             )
@@ -163,16 +167,20 @@ def _register_step(
         return newton_align(
             new_points, new_mask, build_gmap(), init_guess, cfg, reg_pose=reg_pose
         )
-    from ..ndt import build_regmap, newton_align_reg
+    from ..ndt import build_regmap, build_regmap_kdtree, newton_align_reg
     from ..ndt.pallas_math import newton_align_fused
 
+    # KDTREE search mode pairs the centroid-gated objective (cfg.kd_radius)
+    # with the 27-neighborhood nearest-leaf RegMap layout
+    _builder = build_regmap_kdtree if cfg.kd_radius > 0 else build_regmap
+
     if regmap_cache is None:
-        regmap = build_regmap(build_gmap(), grid_shape=grid_shape)
+        regmap = _builder(build_gmap(), grid_shape=grid_shape)
     else:
         # the whole map+RegMap build traces inside the cond branch: it only
         # EXECUTES on rebuild keyframes
         def do_build(_):
-            rm = build_regmap(build_gmap(), grid_shape=grid_shape)
+            rm = _builder(build_gmap(), grid_shape=grid_shape)
             return jax.tree.map(lambda a, e: a.astype(e.dtype), rm, regmap_cache)
 
         regmap = jax.lax.cond(rebuild, do_build, lambda _: regmap_cache, None)
@@ -200,7 +208,8 @@ def _odom_fused_step(
     carry,  # device-resident odometry state (window ring + prev cloud), donated
     new_points,  # (N, 3) body frame
     new_mask,
-    flat,  # (21,) [ins_rot(9), ins_trans(3), scaled_sigma(6), origin(3)]
+    flat,  # (23,) [ins_rot(9), ins_trans(3), scaled_sigma(6), origin(3),
+    #   lidar sigma floor (rot, trans)]
     cfg: NewtonConfig,
     capacity: int,
     min_points: int,
@@ -262,6 +271,13 @@ def _odom_fused_step(
     lidar_cov = 0.5 * (lidar_cov + lidar_cov.T)
     ev, evec = jnp.linalg.eigh(lidar_cov)
     lidar_cov = (evec * jnp.maximum(ev, 1e-12)[None, :]) @ evec.T
+    # registration-bias variance floor (RegisterConfig.lidar_*_sigma_floor):
+    # keeps the between factor honest about mm-class NDT bias that the
+    # point-count-scaled Hessian cannot see
+    floor = jnp.concatenate(
+        [jnp.full((3,), flat[21], cd), jnp.full((3,), flat[22], cd)]
+    )
+    lidar_cov = lidar_cov + jnp.diag(floor * floor)
     fb_si_new = sqrt_info_from_cov(lidar_cov)
     rel = se3.between(prev, blended)
 
@@ -349,6 +365,11 @@ class OdomNdtApp:
             if self.method == "GICP"
             else reg.ndt_transform_epsilon,
             use_direct1=reg.search_method == "DIRECT1",
+            # KDTREE mode: radiusSearch over leaf centroids at radius =
+            # resolution (registercallback.cpp search-method switch)
+            kd_radius=reg.ndt_resolution
+            if reg.search_method == "KDTREE"
+            else 0.0,
             gicp_max_corr_dist=reg.gicp_corr_dist_threshold,
             gicp_aniso=reg.gicp_source_cov == "anisotropic",
         )
@@ -366,6 +387,10 @@ class OdomNdtApp:
                 step_size=reg.svn_step_size,
                 stop_thresh=reg.svn_stop_thresh,
                 use_direct1=reg.svn_search_method == "DIRECT1",
+                kd_radius=reg.svn_resolution
+                if reg.svn_search_method == "KDTREE"
+                else 0.0,
+                polish_iters=reg.svn_polish_iters,
             )
             self._key = jax.random.PRNGKey(1234)
         self._trajectory: List[TrajectoryEntry] = []
@@ -460,12 +485,14 @@ class OdomNdtApp:
             self._trust, float(np.linalg.norm(np.asarray(nav.sigma_pos)))
         )
         scaled_sigma = np.maximum(ins_sigma * float(scale), 1e-6)
+        reg = self.cfg.register
         flat = np.concatenate(
             [
                 np.asarray(ins_pose.rot, np.float64).ravel(),
                 np.asarray(ins_pose.trans, np.float64),
                 scaled_sigma,
                 np.asarray(self._origin, np.float64),
+                [reg.lidar_rot_sigma_floor, reg.lidar_trans_sigma_floor],
             ]
         ).astype(self._flat_dtype)
         with self.timer.span("step"):

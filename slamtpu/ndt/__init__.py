@@ -17,7 +17,8 @@ from .pallas_math import (
 )
 from .newton import NewtonConfig, NewtonResult, newton_align, newton_align_reg
 from .objective import NdtObjective, full_hessian, score_grad_hess, score_only
-from .regmap import RegMap, build_regmap, score_grad_hess_reg
+from .regmap import (RegMap, build_regmap, build_regmap_kdtree,
+    score_grad_hess_reg)
 from .svn import SvnConfig, SvnResult, svn_align, svn_align_reg
 
 __all__ = [
@@ -36,6 +37,7 @@ __all__ = [
     "svn_align_reg",
     "RegMap",
     "build_regmap",
+    "build_regmap_kdtree",
     "score_grad_hess_reg",
     "gicp_map",
     "gicp_map_aniso",

@@ -58,6 +58,12 @@ class NewtonConfig(NamedTuple):
     # from the source scan's own voxel stats (gicp_omp's defining feature);
     # False keeps the fast isotropic sigma^2 I fusion baked into the map
     gicp_aniso: bool = False
+    # KDTREE search mode (voxel_grid_covariance_impl.hpp:443-554): > 0 gates
+    # each candidate leaf on |point - centroid| <= kd_radius (the reference
+    # radius-searches leaf centroids at radius = resolution). Pair with a
+    # RegMap from build_regmap_kdtree, whose slots hold the 27-neighborhood's
+    # nearest leaves instead of DIRECT7's face neighbors. 0 = DIRECT7/1.
+    kd_radius: float = 0.0
 
 
 class NewtonResult(NamedTuple):
@@ -114,7 +120,8 @@ def newton_align_reg(
 
     def eval_obj(pose):
         return regmap_mod.score_grad_hess_reg(
-            points, mask, pose, regmap, d1, d2, grid_shape, cfg.hess_lambda
+            points, mask, pose, regmap, d1, d2, grid_shape, cfg.hess_lambda,
+            kd_radius=cfg.kd_radius,
         )
 
     return _newton_loop(eval_obj, points.dtype, init_pose, cfg, reg_pose)

@@ -170,15 +170,27 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref, *, gicp: bool):
             out_ref[0, idx] = out_ref[0, idx] + H[a][bcol]
 
 
-def gather_megaT(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
+def gather_megaT(
+    points, mask, pose: Pose3, regmap: RegMap, grid_shape, kd_radius=None
+):
     """XLA side: voxel assignment + mega-row gather -> (96, N) float32.
 
     Index resolution is shared with the XLA objective (regmap.point_rows) so
-    the fused and gathered paths cannot drift."""
-    from .regmap import point_rows
+    the fused and gathered paths cannot drift. ``kd_radius`` applies the
+    KDTREE-mode centroid-distance gate by zeroing the slot-validity flags of
+    out-of-radius candidates (regmap.radius_gate) — the kernel needs no
+    change."""
+    from .regmap import point_rows, radius_gate
 
-    _tp, drow = point_rows(points, mask, pose, regmap, grid_shape)
-    return regmap.packed[drow].T.astype(jnp.float32)  # (96, N)
+    tp, drow = point_rows(points, mask, pose, regmap, grid_shape)
+    mega = regmap.packed[drow]  # (N, 96)
+    if kd_radius is not None and kd_radius > 0.0:
+        mu = mega[:, :84].reshape(-1, 7, 12)[..., 0:3]
+        act = radius_gate(tp, mu, mega[:, 84:91] > 0.5, kd_radius)
+        mega = jnp.concatenate(
+            [mega[:, :84], act.astype(mega.dtype), mega[:, 91:]], axis=1
+        )
+    return mega.T.astype(jnp.float32)  # (96, N)
 
 
 def fused_objective(
@@ -346,7 +358,10 @@ def newton_align_fused(
 
     def body(state):
         pose, it, conv, score, hess, nc = state
-        megaT = gather_megaT(points, mask, pose, regmap, grid_shape)
+        megaT = gather_megaT(
+            points, mask, pose, regmap, grid_shape,
+            kd_radius=getattr(cfg, "kd_radius", 0.0),
+        )
 
         def inner(_, carry):
             pose_i, norm_i, obj_i, moved, napp = carry

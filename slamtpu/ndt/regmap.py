@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import se3
 from ..core.se3 import Pose3
@@ -175,6 +176,129 @@ def build_regmap(
     )
 
 
+_KD_OFFSETS = np.stack(
+    np.meshgrid(*([np.arange(-1, 2, dtype=np.int32)] * 3), indexing="ij"), -1
+).reshape(27, 3)
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "dilated_capacity"))
+def build_regmap_kdtree(
+    gmap: GaussianMap,
+    grid_shape: tuple = (256, 256, 64),
+    dilated_capacity: int | None = None,
+) -> RegMap:
+    """KDTREE-search-mode analog of ``build_regmap``.
+
+    The reference's KDTREE mode (voxel_grid_covariance_impl.hpp:443-554)
+    builds a KdTree over valid-leaf CENTROIDS and radius-searches it per
+    transformed point (radius = resolution), so a point contributes to every
+    leaf whose centroid is within one resolution — including corner/edge
+    neighbors DIRECT7 never sees, and leaves reachable from cells that are
+    themselves empty.
+
+    TPU-native re-design — no tree, no per-point search: a leaf centroid lies
+    inside its own voxel, so every leaf within ``resolution`` of a point in
+    cell c sits in c's 3x3x3 cell neighborhood. At build time each cell of
+    the 27-dilated set precomputes its <=7 nearest candidate leaves (by
+    centroid-to-cell-center distance, a 27-way sort per cell); the result is
+    a standard RegMap consumed by the unchanged mega-row query path. The
+    exact radiusSearch gate |tp - mu| <= resolution is applied per point at
+    gather time (``kd_radius``). Exact whenever <=7 leaves fall within the
+    radius (the mega-row slot cap; beyond that the nearest-to-cell-center 7
+    win). Build cost is a (D, 27) candidate gather — heavier than DIRECT7's
+    scatter build; this mode buys fidelity, not speed.
+    """
+    V = gmap.capacity
+    D = dilated_capacity or 6 * V
+    gx, gy, gz = grid_shape
+    n_cells = gx * gy * gz
+    dtype = gmap.mean.dtype
+
+    keys = jnp.where(gmap.valid, gmap.keys, voxel.INVALID_KEY)
+    payload = jnp.concatenate([gmap.mean, gmap.icov.reshape(V, 9)], axis=1)
+    payload = jnp.where(gmap.valid[:, None], payload, 0.0)
+
+    # 27-dilated cell set (occupied + all edge/corner/face neighbors)
+    coords = voxel.unpack(keys)
+    offs = jnp.asarray(_KD_OFFSETS)
+    dil = voxel.pack(coords[None, :, :] + offs[:, None, :]).reshape(-1)
+    dil = jnp.where(
+        jnp.tile(keys != voxel.INVALID_KEY, 27), dil, voxel.INVALID_KEY
+    )
+    dkeys, n_distinct = _unique_sorted(dil, D)
+    dvalid = dkeys != voxel.INVALID_KEY
+    dcoords = voxel.unpack(dkeys)
+
+    big = jnp.iinfo(jnp.int32).max
+    bbox_min = jnp.min(jnp.where(dvalid[:, None], dcoords, big), axis=0)
+
+    def cell_of(c3, valid):
+        rel = c3 - bbox_min[None, :]
+        ing = (
+            valid
+            & (rel[:, 0] >= 0) & (rel[:, 0] < gx)
+            & (rel[:, 1] >= 0) & (rel[:, 1] < gy)
+            & (rel[:, 2] >= 0) & (rel[:, 2] < gz)
+        )
+        return jnp.where(ing, (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2], n_cells)
+
+    dflat = cell_of(dcoords, dvalid)
+    out_of_grid = jnp.sum((dflat == n_cells) & dvalid, dtype=jnp.int32)
+    overflow = jnp.maximum(n_distinct - D, 0) + out_of_grid
+    grid = jnp.full((n_cells + 1,), D, jnp.int32)
+    grid = grid.at[dflat].set(
+        jnp.where(dvalid, jnp.arange(D, dtype=jnp.int32), D), mode="drop"
+    )
+    grid = grid.at[n_cells].set(D)
+
+    # occupied-cell grid: cell -> payload row (sentinel V)
+    oflat = cell_of(coords, gmap.valid)
+    occgrid = jnp.full((n_cells + 1,), V, jnp.int32)
+    occgrid = occgrid.at[oflat].set(
+        jnp.where(gmap.valid, jnp.arange(V, dtype=jnp.int32), V), mode="drop"
+    )
+    occgrid = occgrid.at[n_cells].set(V)
+
+    # candidate leaves per dilated cell: its 27-neighborhood's occupants
+    mu_table = jnp.concatenate([gmap.mean, jnp.zeros((1, 3), dtype)], axis=0)
+    cand_rows = jnp.stack(
+        [occgrid[cell_of(dcoords + o[None, :], dvalid)] for o in _KD_OFFSETS],
+        axis=1,
+    )  # (D, 27) payload rows, sentinel V
+    cand_mu = mu_table[cand_rows]  # (D, 27, 3)
+    center = (dcoords.astype(dtype) + 0.5) * gmap.resolution.astype(dtype) + (
+        gmap.origin.astype(dtype)[None, :]
+    )
+    dist2 = jnp.sum((cand_mu - center[:, None, :]) ** 2, axis=-1)
+    dist2 = jnp.where(cand_rows < V, dist2, jnp.inf)
+    order = jnp.argsort(dist2, axis=1)[:, :7]  # (D, 7) nearest candidates
+    sel_rows = jnp.take_along_axis(cand_rows, order, axis=1)  # (D, 7)
+    sel_ok = jnp.take_along_axis(cand_rows < V, order, axis=1)
+
+    pay_table = jnp.concatenate([payload, jnp.zeros((1, 12), dtype)], axis=0)
+    fields = pay_table[jnp.where(sel_ok, sel_rows, V)]  # (D, 7, 12)
+    packed = jnp.concatenate(
+        [
+            fields.reshape(D, 84),
+            sel_ok.astype(dtype),
+            jnp.zeros((D, 5), dtype),
+        ],
+        axis=1,
+    )
+    packed = jnp.where(dvalid[:, None], packed, 0.0)
+    packed = jnp.concatenate([packed, jnp.zeros((1, 96), dtype)], axis=0)
+
+    return RegMap(
+        packed=packed,
+        grid=grid,
+        bbox_min=bbox_min,
+        origin=gmap.origin,
+        resolution=gmap.resolution,
+        num_valid=gmap.num_valid(),
+        overflow=overflow,
+    )
+
+
 def empty_regmap(
     capacity: int,
     grid_shape: tuple,
@@ -232,11 +356,27 @@ def point_rows(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
     return tp, regmap.grid[flat]
 
 
-def gather_pair_data(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
+def radius_gate(tp, mu, active_slot, kd_radius):
+    """KDTREE-mode per-point gate: a slot contributes only when the leaf
+    centroid lies within ``kd_radius`` of the transformed point — the exact
+    radiusSearch predicate of the reference's KDTREE search mode
+    (voxel_grid_covariance_impl.hpp:443-554). None/0 disables (DIRECT7)."""
+    if kd_radius is None or kd_radius <= 0.0:
+        return active_slot
+    d2 = jnp.sum((tp[:, None, :] - mu) ** 2, axis=-1)
+    return active_slot & (d2 <= kd_radius * kd_radius)
+
+
+def gather_pair_data(
+    points, mask, pose: Pose3, regmap: RegMap, grid_shape, kd_radius=None
+):
     """The per-point voxel gather: (mu (N,7,3), icov (N,7,3,3), active (N,7)).
 
     Separated from the math so SVN can gather ONCE at the mean pose and reuse
-    the Gaussians for all particles (their spread is << resolution)."""
+    the Gaussians for all particles (their spread is << resolution).
+    ``kd_radius`` applies the KDTREE-mode centroid-distance gate at the
+    gather pose (see radius_gate; a RegMap from build_regmap_kdtree supplies
+    the candidate slots)."""
     N = points.shape[0]
     tp, drow = point_rows(points, mask, pose, regmap, grid_shape)
     mega = regmap.packed[drow]  # (N, 96) — the ONE payload gather per point
@@ -244,6 +384,7 @@ def gather_pair_data(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
     mu = fields[..., 0:3]
     icov = fields[..., 3:12].reshape(N, 7, 3, 3)
     active_slot = mega[:, 84:91] > 0.5  # (N, 7)
+    active_slot = radius_gate(tp, mu, active_slot, kd_radius)
     return tp, mu, icov, active_slot
 
 
@@ -261,8 +402,12 @@ def _pair_math(tp, mu, icov, active_slot, d1, d2):
     return icx, factor, score_pairs, ok, mahal
 
 
-def _pair_terms_reg(points, mask, pose: Pose3, regmap: RegMap, d1, d2, grid_shape):
-    tp, mu, icov, active_slot = gather_pair_data(points, mask, pose, regmap, grid_shape)
+def _pair_terms_reg(
+    points, mask, pose: Pose3, regmap: RegMap, d1, d2, grid_shape, kd_radius=None
+):
+    tp, mu, icov, active_slot = gather_pair_data(
+        points, mask, pose, regmap, grid_shape, kd_radius=kd_radius
+    )
     icx, factor, score_pairs, ok, mahal = _pair_math(tp, mu, icov, active_slot, d1, d2)
     return tp, icov, icx, factor, score_pairs, ok, mahal, active_slot
 
@@ -305,14 +450,16 @@ def score_grad_hess_reg(
     d2: float,
     grid_shape: tuple,
     hess_lambda: float = 1e-6,
+    kd_radius: float = None,
 ) -> NdtObjective:
     """Fused NDT objective on the RegMap layout (DIRECT7 semantics; parity
-    with objective.score_grad_hess is tested in tests/test_regmap.py)."""
+    with objective.score_grad_hess is tested in tests/test_regmap.py).
+    ``kd_radius`` > 0 switches to the KDTREE-mode centroid gate."""
     from .objective import sanitize_points
 
     points, mask = sanitize_points(points, mask)
     tp, icov, icx, factor, score_pairs, ok, _mahal, _act = _pair_terms_reg(
-        points, mask, pose, regmap, d1, d2, grid_shape
+        points, mask, pose, regmap, d1, d2, grid_shape, kd_radius=kd_radius
     )
     J = point_jacobian(points, pose)
     b = jnp.einsum("nk,nki->ni", factor, icx)

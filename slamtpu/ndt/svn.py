@@ -53,6 +53,15 @@ class SvnConfig(NamedTuple):
     shared_gather: bool = True  # one voxel gather at the mean pose for all K
     #   particles (exact when the particle spread << resolution, which the
     #   init sigmas guarantee; set False for strict per-particle DIRECT7)
+    kd_radius: float = 0.0  # KDTREE search mode: centroid-distance gate (see
+    #   ndt.newton.NewtonConfig.kd_radius); pair with build_regmap_kdtree
+    polish_iters: int = 0  # extra Newton steps on the particle MEAN after the
+    #   SVN flow. The Stein kernel's repulsion term spreads particles over the
+    #   posterior, so their mean is a posterior-mean estimate, not the MAP —
+    #   its error is ~sigma/sqrt(K) (cm-class at K=20). A short Newton descent
+    #   from the mean publishes the MODE at negligible cost (one extra gather)
+    #   while the covariance still comes from the particle spread. 0 keeps the
+    #   reference's exact publish semantics (svn_ndt_impl.hpp:862-899).
 
 
 class SvnResult(NamedTuple):
@@ -129,7 +138,10 @@ def svn_align_reg(
         ptsT = points.T
 
         def make_obj(mean_pose):
-            megaT = gather_megaT(points, mask, mean_pose, regmap, grid_shape)
+            megaT = gather_megaT(
+                points, mask, mean_pose, regmap, grid_shape,
+                kd_radius=cfg.kd_radius,
+            )
 
             def obj_fn(pose):
                 return fused_objective(ptsT, megaT, pose, d1, d2, cfg.hess_lambda)
@@ -140,7 +152,8 @@ def svn_align_reg(
 
         def make_obj(mean_pose):
             _tp, mu, icov, active = regmap_mod.gather_pair_data(
-                points, mask, mean_pose, regmap, grid_shape
+                points, mask, mean_pose, regmap, grid_shape,
+                kd_radius=cfg.kd_radius,
             )
 
             def obj_fn(pose):
@@ -155,7 +168,8 @@ def svn_align_reg(
         def make_obj(_mean_pose):
             def obj_fn(pose):
                 return regmap_mod.score_grad_hess_reg(
-                    points, mask, pose, regmap, d1, d2, grid_shape, cfg.hess_lambda
+                    points, mask, pose, regmap, d1, d2, grid_shape,
+                    cfg.hess_lambda, kd_radius=cfg.kd_radius,
                 )
 
             return obj_fn
@@ -217,6 +231,24 @@ def _svn_loop(make_obj, dtype, prior: Pose3, rng_key: jax.Array, cfg: SvnConfig)
 
     state0 = (particles0, prior, jnp.asarray(0, jnp.int32), jnp.asarray(False))
     particles, mean_pose, iters, converged = jax.lax.while_loop(cond, body, state0)
+
+    if cfg.polish_iters > 0:
+        # MAP polish: Newton ascent on the NDT score from the particle mean.
+        # One fresh gather at the final mean; the polish moves mm-scale
+        # (<< resolution), so reusing that gather across steps is exact.
+        obj_fn = make_obj(mean_pose)
+
+        def polish_body(_i, pose):
+            obj = obj_fn(pose)
+            step = jnp.linalg.solve(obj.hess, -obj.grad)
+            step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
+            nrm = jnp.linalg.norm(step)
+            # the mean is already near the optimum: a large step means a
+            # degenerate Hessian, so clamp hard rather than trust it
+            step = step * jnp.minimum(1.0, 0.25 / jnp.maximum(nrm, 1e-30))
+            return se3.retract(pose, step.astype(dtype))
+
+        mean_pose = jax.lax.fori_loop(0, cfg.polish_iters, polish_body, mean_pose)
 
     # Posterior covariance: sample covariance of tangents at the final mean
     # (svn_ndt_impl.hpp:903-949), eigenvalue-floored.

@@ -56,6 +56,9 @@ _EXTENSION_KEYS = {
     "map_rebuild_every",
     "fused_inner_iters",
     "gicp_source_cov",
+    "svn_polish_iters",
+    "lidar_rot_sigma_floor",
+    "lidar_trans_sigma_floor",
 }
 
 
@@ -88,6 +91,24 @@ class RegisterConfig:
     svn_step_size: float = 0.05
     svn_stop_thresh: float = 1e-4
     svn_outlier_ratio: float = 0.55
+    # extension: Newton MAP-polish steps on the SVN particle mean before it
+    # is published (ndt.svn.SvnConfig.polish_iters). The Stein repulsion
+    # spreads particles over the posterior, so the raw mean carries
+    # ~sigma/sqrt(K) (cm-class) error; two polish steps publish the mode at
+    # the cost of one extra gather. 0 = the reference's publish semantics.
+    svn_polish_iters: int = 2
+    # extension: variance floor added to the registration covariance
+    # -(H + eps I)^-1 before it enters a factor graph (odom_ndt / ligo_tc).
+    # The GN Hessian's information scales with the number of contributing
+    # point-voxel pairs (~1e5), pricing the between factor at sub-0.1 mm
+    # sigma, while the estimator's real per-pair error is mm-class (voxel
+    # discretization bias + sensor noise — bench: 2-4 mm). Without a floor
+    # the window smoother rationally ignores the honest cm-class INS priors
+    # and the trajectory random-walks at the registration bias rate. The
+    # floor is that bias budget, added as independent variance. 0 = the
+    # reference's raw -(H)^-1 pricing (run/pipeline.cpp:594-603).
+    lidar_rot_sigma_floor: float = 3e-4  # rad
+    lidar_trans_sigma_floor: float = 3e-3  # m
     map_voxel_size: float = 0.5
     min_points_per_voxel: int = 6
     map_capacity: int = 1 << 17
@@ -162,6 +183,15 @@ class RegisterConfig:
             ),
             svn_outlier_ratio=float(
                 p.get("svn_ndt_set_outlier_ratio", defaults.svn_outlier_ratio)
+            ),
+            svn_polish_iters=int(
+                p.get("svn_polish_iters", defaults.svn_polish_iters)
+            ),
+            lidar_rot_sigma_floor=float(
+                p.get("lidar_rot_sigma_floor", defaults.lidar_rot_sigma_floor)
+            ),
+            lidar_trans_sigma_floor=float(
+                p.get("lidar_trans_sigma_floor", defaults.lidar_trans_sigma_floor)
             ),
             map_voxel_size=float(p.get("mapvoxelsize", defaults.map_voxel_size)),
             min_points_per_voxel=int(

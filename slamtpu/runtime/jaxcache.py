@@ -8,6 +8,7 @@ jit so warm runs load compiled executables from disk instead.
 """
 from __future__ import annotations
 
+import hashlib
 import logging
 import os
 
@@ -16,11 +17,35 @@ log = logging.getLogger("slamtpu.jaxcache")
 _DEFAULT_DIR = os.path.expanduser("~/.cache/slamtpu-xla")
 
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU feature set.
+
+    JAX's compilation-cache key does NOT include host CPU features, and
+    XLA:CPU persists AOT machine code compiled for the *writing* machine's
+    ISA (AMX/AVX512...). Replaying such an entry on a host without those
+    features is a potential SIGILL ("cpu_aot_loader: ... could lead to
+    execution errors"), so the cache directory is salted per CPU identity.
+    """
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        import platform
+
+        flags = platform.machine() + platform.processor()
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+
+
 def enable_persistent_cache(path: str | None = None) -> None:
     """Idempotent; safe to call from every entry point before the first jit."""
     import jax
 
     path = path or os.environ.get("SLAMTPU_XLA_CACHE", _DEFAULT_DIR)
+    path = os.path.join(path, f"host-{_host_fingerprint()}")
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

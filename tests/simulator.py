@@ -43,6 +43,34 @@ class ArcTrajectory:
         R = np.asarray(so3.rpy_to_rot(jnp.asarray([0.0, 0.0, yaw])))
         return R, pos
 
+    def poses(self, ts):
+        """Vectorized pose(t): ts (T,) -> (R (T,3,3), pos (T,3)). Pure numpy
+        closed form (the skewed-sweep renderer calls this per column; the
+        scalar path's jnp round trips would cost minutes at 2048 cols)."""
+        ts = np.asarray(ts, np.float64)
+        yaw = self.w * ts
+        if abs(self.w) > 1e-9:
+            pos = np.stack(
+                [
+                    self.v / self.w * np.sin(yaw),
+                    self.v / self.w * (1 - np.cos(yaw)),
+                    np.full_like(yaw, self.z),
+                ],
+                -1,
+            )
+        else:
+            pos = np.stack(
+                [self.v * ts, np.zeros_like(yaw), np.full_like(yaw, self.z)], -1
+            )
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.zeros(ts.shape + (3, 3))
+        R[..., 0, 0] = c
+        R[..., 0, 1] = -s
+        R[..., 1, 0] = s
+        R[..., 1, 1] = c
+        R[..., 2, 2] = 1.0
+        return R, pos
+
     def vel_world(self, t):
         yaw = self.w * t
         return np.array([self.v * np.cos(yaw), self.v * np.sin(yaw), 0.0])
@@ -274,7 +302,12 @@ def simulate_replay(
         col_ts = t_sweep + np.arange(cols) / cols * sweep_period * 0.95
         R, pos = traj.pose(t_sweep + sweep_period * 0.95 - t0)  # pose at sweep end
         gt.append((R, pos))
-        if skewed:
+        if skewed and hasattr(traj, "poses"):
+            # motion-skewed sweep, vectorized over columns
+            Rc, pc = traj.poses(col_ts - t0)  # (cols,3,3), (cols,3)
+            dirs_w = np.einsum("cij,cpj->cpi", Rc, dirs_body)
+            orig_w = np.einsum("cij,cj->ci", Rc, offs_body) + pc
+        elif skewed:
             # motion-skewed sweep: each column sampled from the sensor pose at
             # its own timestamp (what a real spinning lidar measures)
             dirs_w = np.empty((cols,) + dirs_body.shape[1:])

@@ -284,3 +284,48 @@ class TestSVN:
         ev = np.linalg.eigvalsh(cov)
         assert ev.min() >= 1e-9 * (1 - 1e-6)
         np.testing.assert_allclose(cov, cov.T, atol=1e-12)
+
+    def test_svn_polish_lands_on_newton_mode(self, fixture):
+        """polish_iters publishes the MAP: the polished mean must land on the
+        Newton optimum of the same objective (the mode), far closer to it
+        than the raw particle mean, whose Stein-repulsion spread keeps it a
+        posterior-mean estimate. (On this 2 cm-noise fixture the mode is not
+        necessarily closer to ground truth — the property under test is
+        mode-seeking, not accuracy.)"""
+        _, _, gmap, _, source, mask_s = fixture
+        R, t = gt_pose()
+        gt = se3.Pose3(jnp.asarray(R), jnp.asarray(t))
+        init = se3.retract(gt, jnp.asarray([0.01, -0.02, 0.03, 0.15, -0.1, 0.08]))
+        base = dict(
+            resolution=RES, outlier_ratio=OUTLIER, num_particles=10,
+            max_iterations=60, kernel_h=1.0, step_size=1.0, stop_thresh=1e-4,
+        )
+        key = jax.random.PRNGKey(1337)
+        res_raw = jax.jit(svn_align, static_argnames=("cfg",))(
+            jnp.asarray(source), jnp.asarray(mask_s), gmap, init, key,
+            SvnConfig(**base),
+        )
+        res_pol = jax.jit(svn_align, static_argnames=("cfg",))(
+            jnp.asarray(source), jnp.asarray(mask_s), gmap, init, key,
+            SvnConfig(**base, polish_iters=3),
+        )
+        newton_res = jax.jit(newton_align, static_argnames=("cfg",))(
+            jnp.asarray(source), jnp.asarray(mask_s), gmap, init,
+            NewtonConfig(
+                resolution=RES, outlier_ratio=OUTLIER, max_iterations=50,
+                trans_eps=1e-6,
+            ),
+        )
+        d_raw = float(jnp.linalg.norm(se3.local(newton_res.pose, res_raw.pose)))
+        d_pol = float(jnp.linalg.norm(se3.local(newton_res.pose, res_pol.pose)))
+        # the two-plane valley is shallow (Newton itself needs ~50 iters
+        # here), so assert strict mode-seeking progress, not full arrival
+        assert d_pol < 0.5 * d_raw, (d_pol, d_raw)
+        assert d_pol < 0.03, (d_pol, d_raw)
+        # covariance still comes from the particle spread, not the polish —
+        # same scale per dof (the base point of the tangent moved ~0.1, so
+        # entries shift at second order; the SPREAD must not collapse)
+        d_pol_var = np.diag(np.asarray(res_pol.covariance))
+        d_raw_var = np.diag(np.asarray(res_raw.covariance))
+        ratio = d_pol_var / np.maximum(d_raw_var, 1e-12)
+        assert np.all((ratio > 0.3) & (ratio < 3.0)), ratio

@@ -521,3 +521,113 @@ class TestGicpAniso:
             np.asarray(se3.local(iso.pose, aniso.pose))
         )
         assert gap > 1e-4, gap
+
+
+class TestKdtreeMode:
+    """KDTREE search mode: 27-neighborhood nearest-leaf RegMap + per-point
+    centroid-radius gate (the reference's KdTree-over-centroids radiusSearch,
+    voxel_grid_covariance_impl.hpp:443-554)."""
+
+    @pytest.fixture(scope="class")
+    def sparse(self):
+        """Well-separated voxel blobs: every point has <= 7 leaves within one
+        resolution, so the 7-slot cap never truncates and a brute-force
+        radiusSearch oracle is exact."""
+        rng = np.random.default_rng(5)
+        centers = np.array(
+            [[0.5, 0.5, 0.5], [3.5, 0.5, 0.5], [0.5, 3.5, 0.5],
+             [3.5, 3.5, 0.5], [1.5, 1.5, 2.5]]
+        )
+        pts = np.concatenate(
+            [c + rng.normal(0, 0.15, (40, 3)) for c in centers]
+        ).astype(np.float64)
+        origin = np.array([-8.0, -8.0, -8.0])
+        gmap = gaussian_map.build_map(
+            jnp.asarray(pts), jnp.ones(len(pts), bool), jnp.asarray(origin),
+            RES, capacity=256, min_points_per_voxel=3,
+        )
+        from slamtpu.ndt import build_regmap_kdtree
+
+        kmap = build_regmap_kdtree(gmap, grid_shape=(64, 64, 16))
+        assert int(kmap.overflow) == 0
+        return gmap, kmap
+
+    def test_matches_radius_search_oracle(self, sparse):
+        from slamtpu.ndt.objective import MAX_EXPONENT_ARG
+
+        gmap, kmap = sparse
+        d1, d2, _ = gauss_constants(RES, 0.55)
+        rng = np.random.default_rng(9)
+        # queries scattered around the blobs, including empty diagonal cells
+        q = np.concatenate(
+            [
+                rng.uniform(-0.5, 4.5, (200, 3)),
+                np.array([[1.45, 1.45, 0.5]]),  # corner-adjacent empty cell
+            ]
+        )
+        obj = score_grad_hess_reg(
+            jnp.asarray(q), jnp.ones(len(q), bool), se3.identity(dtype=jnp.float64),
+            kmap, d1, d2, (64, 64, 16), kd_radius=RES,
+        )
+        # numpy brute-force radiusSearch over valid leaf centroids
+        valid = np.asarray(gmap.valid)
+        mus = np.asarray(gmap.mean)[valid]
+        icovs = np.asarray(gmap.icov)[valid]
+        score = 0.0
+        n_contrib = 0
+        for p in q:
+            d = np.linalg.norm(mus - p, axis=1)
+            for mu, ic in zip(mus[d <= RES], icovs[d <= RES]):
+                x = p - mu
+                ex = 0.5 * d2 * x @ ic @ x
+                if ex <= MAX_EXPONENT_ARG:
+                    score += -d1 * np.exp(-ex)
+                    n_contrib += 1
+        assert int(obj.n_contrib) == n_contrib
+        np.testing.assert_allclose(float(obj.score), score, rtol=1e-9)
+
+    def test_reaches_beyond_direct7(self, sparse):
+        """A point in a DIAGONALLY adjacent empty cell: DIRECT7 finds no
+        neighbors (its dilation is face-only), KDTREE mode does."""
+        gmap, kmap = sparse
+        d1, d2, _ = gauss_constants(RES, 0.55)
+        dmap = build_regmap(gmap, grid_shape=(64, 64, 16))
+        # the blob at (1.5, 1.5, 2.5) has empty face neighbors; query from
+        # the diagonal cell (2.x, 2.x, 2.x) close enough for the radius
+        # (~0.85 from the centroid — comfortably inside the 1.0 gate)
+        p = jnp.asarray([[2.1, 2.1, 2.5]])
+        m = jnp.ones(1, bool)
+        eye = se3.identity(dtype=jnp.float64)
+        obj_d7 = score_grad_hess_reg(p, m, eye, dmap, d1, d2, (64, 64, 16))
+        obj_kd = score_grad_hess_reg(
+            p, m, eye, kmap, d1, d2, (64, 64, 16), kd_radius=RES
+        )
+        assert int(obj_d7.n_contrib) == 0
+        assert int(obj_kd.n_contrib) >= 1
+
+    def test_radius_gates_contributions(self, sparse):
+        _, kmap = sparse
+        d1, d2, _ = gauss_constants(RES, 0.55)
+        p = jnp.asarray([[1.2, 0.5, 0.5]])  # 0.7 from the (0.5,)^3 centroid
+        m = jnp.ones(1, bool)
+        eye = se3.identity(dtype=jnp.float64)
+        wide = score_grad_hess_reg(p, m, eye, kmap, d1, d2, (64, 64, 16), kd_radius=RES)
+        tight = score_grad_hess_reg(p, m, eye, kmap, d1, d2, (64, 64, 16), kd_radius=0.3)
+        assert int(wide.n_contrib) >= 1
+        assert int(tight.n_contrib) == 0
+
+    def test_newton_converges_kdtree_mode(self, setup):
+        from slamtpu.ndt import build_regmap_kdtree
+
+        gmap, _, source, gt = setup
+        kmap = build_regmap_kdtree(gmap, grid_shape=GRID)
+        init = se3.retract(gt, jnp.asarray([0.02, -0.03, 0.05, 0.2, -0.15, 0.1]))
+        cfg = NewtonConfig(
+            resolution=RES, max_iterations=50, trans_eps=5e-3, kd_radius=RES
+        )
+        res = jax.jit(
+            newton_align_reg, static_argnames=("cfg", "grid_shape")
+        )(jnp.asarray(source), jnp.ones(len(source), bool), kmap, init, cfg, GRID)
+        err = np.asarray(se3.local(gt, res.pose))
+        assert np.linalg.norm(err[3:]) < 0.05
+        assert np.linalg.norm(err[:3]) < 0.035
