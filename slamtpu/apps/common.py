@@ -160,7 +160,7 @@ class MapRebuildCadence:
     One implementation so lo_svn and ligo_tc keep identical invalidation
     semantics (periodic + forced on origin recentering)."""
 
-    def __init__(self, register_cfg, grid_shape):
+    def __init__(self, register_cfg, grid_shape, with_aux: bool = False):
         self._every = max(int(register_cfg.map_rebuild_every), 1)
         self._idx = 0
         self.force_next = False  # set on resume: the cache starts empty
@@ -175,6 +175,7 @@ class MapRebuildCadence:
             self.regmap = empty_regmap(
                 register_cfg.map_capacity, grid_shape,
                 dilated_capacity=6 * register_cfg.map_capacity if kdtree else None,
+                with_aux=with_aux and not kdtree,
             )
         else:
             self.regmap = None

@@ -88,7 +88,22 @@ def _lo_svn_step(
     else:
         from ..ndt import build_regmap, build_regmap_kdtree, svn_align_reg
 
-        _builder = build_regmap_kdtree if svn_cfg.kd_radius > 0 else build_regmap
+        aniso = svn_cfg.polish_iters > 0 and svn_cfg.polish_objective == "gicp_aniso"
+
+        def _builder(gmap, grid_shape):
+            if svn_cfg.kd_radius > 0:
+                return build_regmap_kdtree(gmap, grid_shape=grid_shape)
+            aux = None
+            if aniso:
+                # polish payload: plane-regularized target covariances for
+                # the anisotropic-GICP mode (one extra scatter at build time)
+                from ..ndt import regularize_plane_covariance
+
+                cov_r = regularize_plane_covariance(gmap.cov)
+                aux = jnp.concatenate(
+                    [gmap.mean, cov_r.reshape(-1, 9)], axis=1
+                )
+            return build_regmap(gmap, grid_shape=grid_shape, aux_payload=aux)
 
         def do_build(_):
             gmap = gaussian_map.build_map(
@@ -105,7 +120,19 @@ def _lo_svn_step(
             return jax.tree.map(lambda a, e: a.astype(e.dtype), rm, regmap_in)
 
         regmap = jax.lax.cond(rebuild, do_build, lambda _: regmap_in, None)
-        res = svn_align_reg(new_points, new_mask, regmap, prior, sub, svn_cfg, grid_shape)
+        src_cov = None
+        if aniso:
+            from ..ndt import source_point_covariances
+
+            src_cov = source_point_covariances(
+                new_points, new_mask, svn_cfg.resolution,
+                capacity=min(capacity, 1 << 14),
+                min_points_per_voxel=min_points,
+            )
+        res = svn_align_reg(
+            new_points, new_mask, regmap, prior, sub, svn_cfg, grid_shape,
+            src_cov=src_cov,
+        )
         n_voxels = regmap.num_valid
     published = res.pose if publish_svn else prior
     # ring insert at the ANCHOR pose: flat[16] selects the INS prior (the
@@ -161,6 +188,11 @@ class LoSvnApp:
             if reg.svn_search_method == "KDTREE"
             else 0.0,
             polish_iters=reg.svn_polish_iters,
+            # KDTREE mode shares the regmap slots with the radius gate; its
+            # layout has no aux payload, so the polish stays on the NDT score
+            polish_objective=reg.svn_polish_objective
+            if reg.svn_search_method != "KDTREE"
+            else "ndt",
         )
         self._trajectory: List[TrajectoryEntry] = []
         self._stats_archive = StatsArchive()
@@ -177,7 +209,10 @@ class LoSvnApp:
         self._origin = None
         self._key = jax.random.PRNGKey(self.seed)
         self._cadence = MapRebuildCadence(
-            reg, tuple(reg.reg_grid_shape) if reg.use_regmap else None
+            reg,
+            tuple(reg.reg_grid_shape) if reg.use_regmap else None,
+            with_aux=self.svn_cfg.polish_iters > 0
+            and self.svn_cfg.polish_objective == "gicp_aniso",
         )
 
     @property

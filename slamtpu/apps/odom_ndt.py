@@ -391,6 +391,9 @@ class OdomNdtApp:
                 if reg.svn_search_method == "KDTREE"
                 else 0.0,
                 polish_iters=reg.svn_polish_iters,
+                # _register_step's regmap carries no aux payload (scan-to-
+                # previous-keyframe targets rebuild fully each keyframe)
+                polish_objective="ndt",
             )
             self._key = jax.random.PRNGKey(1234)
         self._trajectory: List[TrajectoryEntry] = []

@@ -165,27 +165,23 @@ def source_point_covariances(
     return jnp.where(good[:, None, None], cov, iso)
 
 
-def score_grad_hess_gicp_aniso(
-    points: jax.Array,
-    mask: jax.Array,
+def score_grad_hess_gicp_aniso_gathered(
+    points: jax.Array,  # (N, 3) body frame, already sanitized
     src_cov: jax.Array,  # (N, 3, 3) body-frame source covariances
     pose,
-    regmap: regmap_mod.RegMap,  # from gicp_map_aniso + build_regmap
-    grid_shape: tuple,
+    mu: jax.Array,  # (N, 7, 3) pre-gathered target means
+    cov_t: jax.Array,  # (N, 7, 3, 3) pre-gathered plane-regularized target covs
+    active: jax.Array,  # (N, 7)
     hess_lambda: float = 1e-6,
     max_mahal: float = 9.0,
     max_corr_dist: float = 5.0,
 ) -> NdtObjective:
-    """Plane-to-plane GICP cost: e = r^T (C_tgt + R C_src R^T)^-1 r per
-    point-voxel pair, negated into the maximize convention. Gauss-Newton
-    treats the fused covariance as fixed at the evaluation pose (the same
-    approximation gicp_omp's optimizer makes per iteration)."""
-    from .objective import sanitize_points
+    """Plane-to-plane GICP cost on pre-gathered target Gaussians (the
+    shared-gather / SVN-polish path: neighbor sets come from a nearby pose,
+    contributions use this pose's exact transform)."""
+    from ..core import se3
 
-    points, mask = sanitize_points(points, mask)
-    tp, mu, cov_t, active = regmap_mod.gather_pair_data(
-        points, mask, pose, regmap, grid_shape
-    )
+    tp = se3.transform_points(pose, points)
     R = pose.rot
     rc = jnp.einsum("ab,nbc,dc->nad", R, src_cov, R)  # R C_src R^T
     fused_inv = linalg.inv3x3(cov_t + rc[:, None, :, :])
@@ -207,6 +203,33 @@ def score_grad_hess_gicp_aniso(
     hess = hess + hess_lambda * jnp.eye(6, dtype=hess.dtype)
     score = -jnp.sum(jnp.where(inlier, mahal, 0.0))
     return NdtObjective(score, grad, hess, jnp.sum(inlier, dtype=jnp.int32))
+
+
+def score_grad_hess_gicp_aniso(
+    points: jax.Array,
+    mask: jax.Array,
+    src_cov: jax.Array,  # (N, 3, 3) body-frame source covariances
+    pose,
+    regmap: regmap_mod.RegMap,  # from gicp_map_aniso + build_regmap
+    grid_shape: tuple,
+    hess_lambda: float = 1e-6,
+    max_mahal: float = 9.0,
+    max_corr_dist: float = 5.0,
+) -> NdtObjective:
+    """Plane-to-plane GICP cost: e = r^T (C_tgt + R C_src R^T)^-1 r per
+    point-voxel pair, negated into the maximize convention. Gauss-Newton
+    treats the fused covariance as fixed at the evaluation pose (the same
+    approximation gicp_omp's optimizer makes per iteration)."""
+    from .objective import sanitize_points
+
+    points, mask = sanitize_points(points, mask)
+    _tp, mu, cov_t, active = regmap_mod.gather_pair_data(
+        points, mask, pose, regmap, grid_shape
+    )
+    return score_grad_hess_gicp_aniso_gathered(
+        points, src_cov, pose, mu, cov_t, active, hess_lambda,
+        max_mahal, max_corr_dist,
+    )
 
 
 def gicp_align_aniso(

@@ -50,6 +50,11 @@ class RegMap(NamedTuple):
     resolution: jax.Array  # ()
     num_valid: jax.Array  # () int32
     overflow: jax.Array  # () int32: dilated cells dropped (capacity + bounds)
+    # optional second mega-row table over the SAME dilated layout/grid,
+    # carrying an alternative 12-float per-voxel payload (e.g. the
+    # plane-regularized COVARIANCE for the anisotropic-GICP polish) — one
+    # extra scatter at build time instead of a second full RegMap build.
+    packed_aux: jax.Array | None = None
 
     @property
     def dilated_capacity(self) -> int:
@@ -76,12 +81,17 @@ def build_regmap(
     gmap: GaussianMap,
     grid_shape: tuple = (256, 256, 64),
     dilated_capacity: int | None = None,
+    aux_payload: jax.Array | None = None,
 ) -> RegMap:
     """Precompute the registration layout from a finalized GaussianMap.
 
     Deliberately searchsorted-free: neighbor resolution goes through the
     dense grid (scatter once, gather per neighbor) — binary searches compile
     pathologically slowly on the TPU backend in use.
+
+    ``aux_payload`` (V, 12): optional alternative per-voxel payload packed
+    into ``RegMap.packed_aux`` over the same dilated layout (one extra
+    full-row scatter, ~16 ms at Berlin scale — vs ~60 ms for a second build).
     """
     V = gmap.capacity
     D = dilated_capacity or 4 * V
@@ -154,16 +164,27 @@ def build_regmap(
     # (7V, 96) update rows: candidate block j carries the payload at columns
     # 12j..12j+12 and its validity flag at column 84+j — built with 7 static
     # one-hot blocks (no per-row dynamic slicing, which scatters horribly)
-    tiled = jnp.tile(payload, (7, 1))  # (7V, 12)
     j_of = jnp.repeat(jnp.arange(7), V)  # (7V,)
-    blocks = [jnp.where((j_of == j)[:, None], tiled, 0.0) for j in range(7)]
     flags = jnp.stack(
         [jnp.where(j_of == j, jnp.ones((7 * V,), dtype), 0.0) for j in range(7)],
         axis=1,
     )  # (7V, 7)
-    cols = jnp.concatenate(blocks + [flags, jnp.zeros((7 * V, 5), dtype)], axis=1)
-    packed = jnp.zeros((D + 1 + V, 96), dtype).at[trow].add(cols)
-    packed = packed[: D + 1]
+
+    def scatter_rows(pl):
+        tiled = jnp.tile(pl, (7, 1))  # (7V, 12)
+        blocks = [jnp.where((j_of == j)[:, None], tiled, 0.0) for j in range(7)]
+        cols = jnp.concatenate(
+            blocks + [flags, jnp.zeros((7 * V, 5), dtype)], axis=1
+        )
+        out = jnp.zeros((D + 1 + V, 96), dtype).at[trow].add(cols)
+        return out[: D + 1]
+
+    packed = scatter_rows(payload)
+    packed_aux = None
+    if aux_payload is not None:
+        packed_aux = scatter_rows(
+            jnp.where(gmap.valid[:, None], aux_payload.reshape(V, 12), 0.0)
+        )
 
     return RegMap(
         packed=packed,
@@ -173,6 +194,7 @@ def build_regmap(
         resolution=gmap.resolution,
         num_valid=gmap.num_valid(),
         overflow=overflow,
+        packed_aux=packed_aux,
     )
 
 
@@ -304,6 +326,7 @@ def empty_regmap(
     grid_shape: tuple,
     dtype=jnp.float32,
     dilated_capacity: int | None = None,
+    with_aux: bool = False,
 ) -> RegMap:
     """An all-empty RegMap with the same shapes build_regmap would produce —
     the initial cache value for apps that rebuild at reduced cadence."""
@@ -318,6 +341,7 @@ def empty_regmap(
         resolution=jnp.asarray(1.0, dtype),
         num_valid=jnp.asarray(0, jnp.int32),
         overflow=jnp.asarray(0, jnp.int32),
+        packed_aux=jnp.zeros((D + 1, 96), dtype) if with_aux else None,
     )
 
 
@@ -386,6 +410,22 @@ def gather_pair_data(
     active_slot = mega[:, 84:91] > 0.5  # (N, 7)
     active_slot = radius_gate(tp, mu, active_slot, kd_radius)
     return tp, mu, icov, active_slot
+
+
+def gather_pair_aux(points, mask, pose: Pose3, regmap: RegMap, grid_shape):
+    """Like gather_pair_data but against ``RegMap.packed_aux`` (the
+    alternative 12-float payload — e.g. plane-regularized covariances for
+    the anisotropic-GICP polish)."""
+    N = points.shape[0]
+    tp, drow = point_rows(points, mask, pose, regmap, grid_shape)
+    mega = regmap.packed_aux[drow]
+    fields = mega[:, : 7 * 12].reshape(N, 7, 12)
+    return (
+        tp,
+        fields[..., 0:3],
+        fields[..., 3:12].reshape(N, 7, 3, 3),
+        mega[:, 84:91] > 0.5,
+    )
 
 
 def _pair_math(tp, mu, icov, active_slot, d1, d2):

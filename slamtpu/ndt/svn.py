@@ -62,6 +62,22 @@ class SvnConfig(NamedTuple):
     #   from the mean publishes the MODE at negligible cost (one extra gather)
     #   while the covariance still comes from the particle spread. 0 keeps the
     #   reference's exact publish semantics (svn_ndt_impl.hpp:862-899).
+    polish_pre_iters: int = 6  # "gicp_aniso" polish only: fused-NDT Newton
+    #   contraction steps BEFORE the aniso stage. The SVN mean sits ~them
+    #   far from the mode (measured 75 mm at kernel_h=5: kval ~= 1 for all
+    #   pairs, so the flow is consensus dynamics that never contracts the
+    #   init spread), and the aniso GN converges slowly from that far out;
+    #   NDT Newton contracts fast and cheaply, the aniso stage then needs
+    #   only polish_iters steps for its accuracy (20 -> ~9 mm in 2).
+    polish_objective: str = "ndt"  # "ndt" | "gicp_aniso": objective the
+    #   polish descends. "gicp_aniso" is plane-to-plane GICP against the
+    #   RegMap's aux payload (plane-regularized target covariances) with the
+    #   source scan's own per-point covariances — NDT's view-dependent
+    #   surface bias is its dominant residual (measured 13.8 -> 5.1 mm on
+    #   the sim world from an exact init), so the posterior comes from the
+    #   NDT particle flow and the published mode from the GICP geometry.
+    #   Requires svn_align_reg(..., src_cov=...) and a RegMap built with
+    #   aux_payload=[mean, plane-regularized cov].
 
 
 class SvnResult(NamedTuple):
@@ -118,6 +134,7 @@ def svn_align_reg(
     rng_key: jax.Array,
     cfg: SvnConfig = SvnConfig(),
     grid_shape: tuple = (256, 256, 64),
+    src_cov: jax.Array = None,  # (N, 3, 3), polish_objective == "gicp_aniso"
 ) -> SvnResult:
     """SVN-NDT on the search-free RegMap layout (slamtpu.ndt.regmap).
 
@@ -174,10 +191,43 @@ def svn_align_reg(
 
             return obj_fn
 
-    return _svn_loop(make_obj, points.dtype, prior, rng_key, cfg)
+    polish_make_obj = None
+    if cfg.polish_iters > 0 and cfg.polish_objective == "gicp_aniso":
+        assert regmap.packed_aux is not None, (
+            "polish_objective='gicp_aniso' needs a RegMap built with "
+            "aux_payload (plane-regularized covariances)"
+        )
+        assert src_cov is not None, "pass src_cov (source_point_covariances)"
+        from .gicp import score_grad_hess_gicp_aniso_gathered
+        from .objective import sanitize_points
+
+        pts_s, _ = sanitize_points(points, mask)
+
+        def polish_make_obj(mean_pose):
+            _tp, mu_a, cov_a, act_a = regmap_mod.gather_pair_aux(
+                points, mask, mean_pose, regmap, grid_shape
+            )
+
+            def obj_fn(pose):
+                return score_grad_hess_gicp_aniso_gathered(
+                    pts_s, src_cov, pose, mu_a, cov_a, act_a, cfg.hess_lambda
+                )
+
+            return obj_fn
+
+    return _svn_loop(
+        make_obj, points.dtype, prior, rng_key, cfg, polish_make_obj
+    )
 
 
-def _svn_loop(make_obj, dtype, prior: Pose3, rng_key: jax.Array, cfg: SvnConfig) -> SvnResult:
+def _svn_loop(
+    make_obj,
+    dtype,
+    prior: Pose3,
+    rng_key: jax.Array,
+    cfg: SvnConfig,
+    polish_make_obj=None,
+) -> SvnResult:
     K = cfg.num_particles
     I6 = jnp.eye(6, dtype=dtype)
 
@@ -233,22 +283,35 @@ def _svn_loop(make_obj, dtype, prior: Pose3, rng_key: jax.Array, cfg: SvnConfig)
     particles, mean_pose, iters, converged = jax.lax.while_loop(cond, body, state0)
 
     if cfg.polish_iters > 0:
-        # MAP polish: Newton ascent on the NDT score from the particle mean.
-        # One fresh gather at the final mean; the polish moves mm-scale
-        # (<< resolution), so reusing that gather across steps is exact.
-        obj_fn = make_obj(mean_pose)
+        # MAP polish: Newton ascent from the particle mean — on the NDT score
+        # or on a dedicated polish objective (e.g. plane-to-plane GICP).
+        # Each step re-anchors the gather at its own pose (a gather is ~4 ms
+        # at Berlin scale; measured: fresh-gather aniso Newton reaches 5 mm
+        # in 2 steps from a 25 mm-off start where stale-gather needed >8).
+        def polish_step(mk_fn):
+            def polish_body(_i, pose):
+                obj = mk_fn(pose)(pose)
+                step = jnp.linalg.solve(obj.hess, -obj.grad)
+                step = jnp.where(
+                    jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step)
+                )
+                nrm = jnp.linalg.norm(step)
+                # the mean is already near the optimum: a large step means a
+                # degenerate Hessian, so clamp hard rather than trust it
+                step = step * jnp.minimum(1.0, 0.25 / jnp.maximum(nrm, 1e-30))
+                return se3.retract(pose, step.astype(dtype))
 
-        def polish_body(_i, pose):
-            obj = obj_fn(pose)
-            step = jnp.linalg.solve(obj.hess, -obj.grad)
-            step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
-            nrm = jnp.linalg.norm(step)
-            # the mean is already near the optimum: a large step means a
-            # degenerate Hessian, so clamp hard rather than trust it
-            step = step * jnp.minimum(1.0, 0.25 / jnp.maximum(nrm, 1e-30))
-            return se3.retract(pose, step.astype(dtype))
+            return polish_body
 
-        mean_pose = jax.lax.fori_loop(0, cfg.polish_iters, polish_body, mean_pose)
+        if polish_make_obj is not None and cfg.polish_pre_iters > 0:
+            # stage 1: contract on the primary (NDT) objective first
+            mean_pose = jax.lax.fori_loop(
+                0, cfg.polish_pre_iters, polish_step(make_obj), mean_pose
+            )
+        mean_pose = jax.lax.fori_loop(
+            0, cfg.polish_iters, polish_step(polish_make_obj or make_obj),
+            mean_pose,
+        )
 
     # Posterior covariance: sample covariance of tangents at the final mean
     # (svn_ndt_impl.hpp:903-949), eigenvalue-floored.

@@ -57,6 +57,7 @@ _EXTENSION_KEYS = {
     "fused_inner_iters",
     "gicp_source_cov",
     "svn_polish_iters",
+    "svn_polish_objective",
     "lidar_rot_sigma_floor",
     "lidar_trans_sigma_floor",
 }
@@ -96,7 +97,15 @@ class RegisterConfig:
     # spreads particles over the posterior, so the raw mean carries
     # ~sigma/sqrt(K) (cm-class) error; two polish steps publish the mode at
     # the cost of one extra gather. 0 = the reference's publish semantics.
-    svn_polish_iters: int = 2
+    svn_polish_iters: int = 4
+    # extension: objective for the polish steps. "gicp_aniso" descends the
+    # plane-to-plane GICP cost (source-scan per-point covariances against
+    # plane-regularized target covariances) — NDT's view-dependent surface
+    # bias dominates its residual at exact inits (measured 13.8 -> 5.1 mm on
+    # the sim world), so the posterior comes from the NDT particle flow and
+    # the published mode from the GICP geometry. "ndt" polishes on the NDT
+    # score itself.
+    svn_polish_objective: str = "gicp_aniso"
     # extension: variance floor added to the registration covariance
     # -(H + eps I)^-1 before it enters a factor graph (odom_ndt / ligo_tc).
     # The GN Hessian's information scales with the number of contributing
@@ -186,6 +195,9 @@ class RegisterConfig:
             ),
             svn_polish_iters=int(
                 p.get("svn_polish_iters", defaults.svn_polish_iters)
+            ),
+            svn_polish_objective=str(
+                p.get("svn_polish_objective", defaults.svn_polish_objective)
             ),
             lidar_rot_sigma_floor=float(
                 p.get("lidar_rot_sigma_floor", defaults.lidar_rot_sigma_floor)
