@@ -193,6 +193,7 @@ class LoSvnApp:
             polish_objective=reg.svn_polish_objective
             if reg.svn_search_method != "KDTREE"
             else "ndt",
+            polish_from=reg.svn_polish_from,
         )
         self._trajectory: List[TrajectoryEntry] = []
         self._stats_archive = StatsArchive()

@@ -114,12 +114,78 @@ def gicp_align(
 def regularize_plane_covariance(cov: jax.Array, eps: float = 1e-3) -> jax.Array:
     """GICP covariance regularization: eigenvalues replaced by (eps, 1, 1)
     keeping eigenvectors — every Gaussian becomes a disc with its normal
-    direction squashed to eps (gicp_omp's surface model; Segal et al.)."""
-    evals, evecs = linalg.sym_eig3x3(cov)  # ascending
-    new_vals = jnp.broadcast_to(
-        jnp.asarray([eps, 1.0, 1.0], cov.dtype), evals.shape
+    direction squashed to eps (gicp_omp's surface model; Segal et al.).
+
+    With target eigenvalues (eps, 1, 1) the result depends only on the
+    surface NORMAL n (the smallest-eigenvalue direction):
+
+        V diag(eps, 1, 1) V^T = I - (1 - eps) n n^T
+
+    so no full eigendecomposition is needed: lambda_min comes from the
+    closed-form symmetric-3x3 trigonometric (Cardano) formula and n from
+    the largest cross product of two rows of (C - lambda_min I). This is
+    scatter-free — the batched Jacobi path costs ~20 ms per 2^17 voxels on
+    TPU because its column-sliced .at[].set updates serialize (BENCH_NOTES).
+    """
+    dtype = cov.dtype
+    c00 = cov[..., 0, 0]
+    c11 = cov[..., 1, 1]
+    c22 = cov[..., 2, 2]
+    c01 = 0.5 * (cov[..., 0, 1] + cov[..., 1, 0])
+    c02 = 0.5 * (cov[..., 0, 2] + cov[..., 2, 0])
+    c12 = 0.5 * (cov[..., 1, 2] + cov[..., 2, 1])
+    q = (c00 + c11 + c22) / 3.0
+    p1 = c01 * c01 + c02 * c02 + c12 * c12
+    p2 = (c00 - q) ** 2 + (c11 - q) ** 2 + (c22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    p_safe = jnp.where(p > 1e-30, p, 1.0)
+    # det((C - qI) / p) via cofactors of the shifted symmetric matrix
+    b00, b11, b22 = (c00 - q) / p_safe, (c11 - q) / p_safe, (c22 - q) / p_safe
+    b01, b02, b12 = c01 / p_safe, c02 / p_safe, c12 / p_safe
+    detB = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
     )
-    return jnp.einsum("...ij,...j,...kj->...ik", evecs, new_vals, evecs)
+    r = jnp.clip(0.5 * detB, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # ascending eigenvalues: lmin = q + 2p cos(phi + 2pi/3)
+    lmin = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    # normal = null direction of (C - lmin I): the largest cross product of
+    # its rows (branch-free: compute all three, take the longest)
+    a00, a11, a22 = c00 - lmin, c11 - lmin, c22 - lmin
+    rows = (
+        (a00, c01, c02),
+        (c01, a11, c12),
+        (c02, c12, a22),
+    )
+
+    def cross(u, v):
+        return (
+            u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0],
+        )
+
+    cands = [cross(rows[0], rows[1]), cross(rows[0], rows[2]), cross(rows[1], rows[2])]
+    norms = [u[0] * u[0] + u[1] * u[1] + u[2] * u[2] for u in cands]
+    best01 = norms[0] >= norms[1]
+    n0 = jnp.where(best01, cands[0][0], cands[1][0])
+    n1 = jnp.where(best01, cands[0][1], cands[1][1])
+    n2 = jnp.where(best01, cands[0][2], cands[1][2])
+    nb = jnp.maximum(norms[0], norms[1])
+    use2 = norms[2] > nb
+    n0 = jnp.where(use2, cands[2][0], n0)
+    n1 = jnp.where(use2, cands[2][1], n1)
+    n2 = jnp.where(use2, cands[2][2], n2)
+    nn = jnp.sqrt(n0 * n0 + n1 * n1 + n2 * n2)
+    degenerate = nn < 1e-20  # isotropic / zero cov: normal is arbitrary
+    inv_nn = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, nn))
+    n0, n1, n2 = n0 * inv_nn, n1 * inv_nn, n2 * inv_nn
+    n2v = jnp.where(degenerate, 1.0, n2)  # arbitrary unit normal = z
+    n = jnp.stack([n0, n1, n2v], axis=-1)
+    eye = jnp.eye(3, dtype=dtype)
+    return eye - (1.0 - eps) * n[..., :, None] * n[..., None, :]
 
 
 def gicp_map_aniso(gmap: GaussianMap, eps: float = 1e-3) -> GaussianMap:
@@ -144,23 +210,61 @@ def source_point_covariances(
     """(N, 3, 3) per-point source covariances: each point inherits the
     plane-regularized covariance of ITS OWN voxel in the source scan (the
     voxelized analog of gicp_omp's per-point kNN covariances). Points in
-    sparse voxels fall back to the isotropic sigma^2 I."""
-    from ..mapping import gaussian_map, voxel
+    sparse voxels fall back to the isotropic sigma^2 I.
+
+    Deliberately searchsorted-free (jnp.searchsorted is pathologically slow
+    on this TPU backend, BENCH_NOTES.md): the point->voxel association falls
+    out of the SAME sort used to build the stats — segment ids via cumsum
+    over the sorted keys, covariances gathered per sorted point, un-sorted
+    through the inverse permutation."""
+    from ..mapping import voxel
 
     dtype = points.dtype
+    N = points.shape[0]
+    finite = jnp.all(jnp.isfinite(points), axis=-1)
+    mask = mask & finite
     big = jnp.asarray(1e6, dtype)
     masked = jnp.where(mask[:, None], points, big)
     origin = (
         jnp.floor(jnp.min(masked, axis=0) / resolution) - 1.0
     ) * resolution
-    gmap_src = gaussian_map.build_map(
-        points, mask, origin, resolution,
-        capacity=capacity, min_points_per_voxel=min_points_per_voxel,
-    )
     keys = voxel.key_of_points(points, origin, 1.0 / resolution, mask)
-    slot, found = voxel.lookup(gmap_src.keys, keys)
-    good = found & gmap_src.valid[slot]
-    cov = regularize_plane_covariance(gmap_src.cov[slot], eps)
+    pts_rel = jnp.where(finite[:, None], points - origin[None, :], 0.0)
+
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    spts = pts_rel[order]
+    is_valid = skeys != voxel.INVALID_KEY
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
+    ) & is_valid
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg_ok = is_valid & (seg >= 0) & (seg < capacity)
+    seg_c = jnp.where(seg_ok, seg, capacity)
+    ones = seg_ok.astype(dtype)
+    n = jax.ops.segment_sum(ones, seg_c, num_segments=capacity + 1)
+    sx = jax.ops.segment_sum(
+        spts * ones[:, None], seg_c, num_segments=capacity + 1
+    )
+    outer = spts[:, :, None] * spts[:, None, :]
+    sxx = jax.ops.segment_sum(
+        outer * ones[:, None, None], seg_c, num_segments=capacity + 1
+    )
+    nf = jnp.maximum(n, 1.0)
+    mu = sx / nf[:, None]
+    cov_v = sxx / nf[:, None, None] - mu[:, :, None] * mu[:, None, :]
+    cov_v = cov_v * (nf / jnp.maximum(nf - 1.0, 1.0))[:, None, None]
+    cov_v = regularize_plane_covariance(cov_v, eps)  # (capacity+1, 3, 3)
+    good_v = n >= min_points_per_voxel
+
+    # each sorted point gathers its segment's covariance; inverse-permute
+    cov_sorted = cov_v[seg_c]
+    good_sorted = seg_ok & good_v[seg_c]
+    inv = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32)
+    )
+    cov = cov_sorted[inv]
+    good = good_sorted[inv]
     iso = (fallback_sigma**2) * jnp.eye(3, dtype=dtype)
     return jnp.where(good[:, None, None], cov, iso)
 

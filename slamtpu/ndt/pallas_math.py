@@ -114,6 +114,19 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref, *, gicp: bool):
         b2 = b2 + f * icx2
         M = [M[c] + f * ic[c] for c in range(9)]
 
+    _finish_block(
+        (R00, R01, R02, R10, R11, R12, R20, R21, R22),
+        (x0, x1, x2), (b0, b1, b2), M, score, count, out_ref,
+    )
+
+
+def _finish_block(Rf, x, b, M, score, count, out_ref):
+    """Shared accumulator tail: assemble gradient/Hessian from the pair-loop
+    moments (b = sum f*icx planes, M = sum f*icov planes) and accumulate the
+    44 reduction outputs. Identical for the NDT, GICP and aniso pair loops."""
+    R00, R01, R02, R10, R11, R12, R20, R21, R22 = Rf
+    x0, x1, x2 = x
+    b0, b1, b2 = b
     # gradient: q = R^T b ; g_v = sum q ; g_w = sum x cross q
     q0 = R00 * b0 + R10 * b1 + R20 * b2
     q1 = R01 * b0 + R11 * b1 + R21 * b2
@@ -136,7 +149,6 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref, *, gicp: bool):
                     term = (Rm[ii][a] * Rm[jj][bcol]) * M[3 * ii + jj]
                     acc = term if acc is None else acc + term
             P[a][bcol] = acc
-    x = (x0, x1, x2)
 
     def cross(u):  # x cross (u0, u1, u2) planes
         return (
@@ -170,8 +182,118 @@ def _kernel(params_ref, ptsT_ref, megaT_ref, out_ref, *, gicp: bool):
             out_ref[0, idx] = out_ref[0, idx] + H[a][bcol]
 
 
+def _kernel_aniso(params_ref, ptsT_ref, megaT_ref, scovT_ref, out_ref):
+    """Plane-to-plane GICP pair math: per pair fuse S = C_t + R C_src R^T,
+    invert 3x3 in-register (closed-form adjugate), trimmed quadratic cost.
+
+    megaT carries the AUX payload (mean(3), plane-regularized target COV(9)
+    per slot); scovT (9, B) is the per-POINT body-frame source covariance.
+    params: R(9), t(3), [12] unused, [13] max_corr_dist^2, [14] unused,
+    [15] max_mahal.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(44):
+            out_ref[0, c] = 0.0
+
+    R00, R01, R02 = params_ref[0, 0], params_ref[0, 1], params_ref[0, 2]
+    R10, R11, R12 = params_ref[0, 3], params_ref[0, 4], params_ref[0, 5]
+    R20, R21, R22 = params_ref[0, 6], params_ref[0, 7], params_ref[0, 8]
+    t0, t1, t2 = params_ref[0, 9], params_ref[0, 10], params_ref[0, 11]
+    corr2 = params_ref[0, 13]
+    max_mahal = params_ref[0, 15]
+
+    x0 = ptsT_ref[0, :]
+    x1 = ptsT_ref[1, :]
+    x2 = ptsT_ref[2, :]
+    tp0 = R00 * x0 + R01 * x1 + R02 * x2 + t0
+    tp1 = R10 * x0 + R11 * x1 + R12 * x2 + t1
+    tp2 = R20 * x0 + R21 * x1 + R22 * x2 + t2
+
+    # rc = R C_src R^T per point (C_src symmetric row-major in scovT)
+    Rm = ((R00, R01, R02), (R10, R11, R12), (R20, R21, R22))
+    s = [scovT_ref[c, :] for c in range(9)]
+    RC = [[None] * 3 for _ in range(3)]  # R @ C_src
+    for ii in range(3):
+        for jj in range(3):
+            RC[ii][jj] = (
+                Rm[ii][0] * s[jj] + Rm[ii][1] * s[3 + jj] + Rm[ii][2] * s[6 + jj]
+            )
+    rc = [[None] * 3 for _ in range(3)]  # (R C) @ R^T
+    for ii in range(3):
+        for jj in range(3):
+            rc[ii][jj] = (
+                RC[ii][0] * Rm[jj][0] + RC[ii][1] * Rm[jj][1] + RC[ii][2] * Rm[jj][2]
+            )
+
+    score = jnp.zeros((), jnp.float32)
+    count = jnp.zeros((), jnp.float32)
+    b0 = jnp.zeros_like(x0)
+    b1 = jnp.zeros_like(x0)
+    b2 = jnp.zeros_like(x0)
+    M = [jnp.zeros_like(x0) for _ in range(9)]
+    zero = jnp.float32(0.0)
+
+    for k in range(7):
+        base = 12 * k
+        mu0 = megaT_ref[base + 0, :]
+        mu1 = megaT_ref[base + 1, :]
+        mu2 = megaT_ref[base + 2, :]
+        ct = [megaT_ref[base + 3 + c, :] for c in range(9)]
+        valid = megaT_ref[84 + k, :] > 0.5
+        # fused symmetric S = C_t + rc (6 unique planes)
+        s00 = ct[0] + rc[0][0]
+        s01 = ct[1] + rc[0][1]
+        s02 = ct[2] + rc[0][2]
+        s11 = ct[4] + rc[1][1]
+        s12 = ct[5] + rc[1][2]
+        s22 = ct[8] + rc[2][2]
+        # closed-form symmetric 3x3 inverse (adjugate / det)
+        c00 = s11 * s22 - s12 * s12
+        c01 = s02 * s12 - s01 * s22
+        c02 = s01 * s12 - s02 * s11
+        c11 = s00 * s22 - s02 * s02
+        c12 = s01 * s02 - s00 * s12
+        c22 = s00 * s11 - s01 * s01
+        det = s00 * c00 + s01 * c01 + s02 * c02
+        inv_det = jnp.float32(1.0) / jnp.where(
+            jnp.abs(det) > jnp.float32(1e-30), det, jnp.float32(1.0)
+        )
+        i00 = c00 * inv_det
+        i01 = c01 * inv_det
+        i02 = c02 * inv_det
+        i11 = c11 * inv_det
+        i12 = c12 * inv_det
+        i22 = c22 * inv_det
+        xr0 = tp0 - mu0
+        xr1 = tp1 - mu1
+        xr2 = tp2 - mu2
+        icx0 = i00 * xr0 + i01 * xr1 + i02 * xr2
+        icx1 = i01 * xr0 + i11 * xr1 + i12 * xr2
+        icx2 = i02 * xr0 + i12 * xr1 + i22 * xr2
+        mahal = jnp.maximum(xr0 * icx0 + xr1 * icx1 + xr2 * icx2, 0.0)
+        dist2 = xr0 * xr0 + xr1 * xr1 + xr2 * xr2
+        ok = valid & (mahal <= max_mahal) & (dist2 <= corr2)
+        f = jnp.where(ok, jnp.float32(-2.0), zero)
+        score = score + jnp.sum(jnp.where(ok, -mahal, zero))
+        count = count + jnp.sum(jnp.where(ok, jnp.float32(1.0), zero))
+        b0 = b0 + f * icx0
+        b1 = b1 + f * icx1
+        b2 = b2 + f * icx2
+        fi = (i00, i01, i02, i01, i11, i12, i02, i12, i22)
+        M = [M[c] + f * fi[c] for c in range(9)]
+
+    _finish_block(
+        (R00, R01, R02, R10, R11, R12, R20, R21, R22),
+        (x0, x1, x2), (b0, b1, b2), M, score, count, out_ref,
+    )
+
+
 def gather_megaT(
-    points, mask, pose: Pose3, regmap: RegMap, grid_shape, kd_radius=None
+    points, mask, pose: Pose3, regmap: RegMap, grid_shape, kd_radius=None,
+    table: str = "packed",
 ):
     """XLA side: voxel assignment + mega-row gather -> (96, N) float32.
 
@@ -179,11 +301,13 @@ def gather_megaT(
     the fused and gathered paths cannot drift. ``kd_radius`` applies the
     KDTREE-mode centroid-distance gate by zeroing the slot-validity flags of
     out-of-radius candidates (regmap.radius_gate) — the kernel needs no
-    change."""
+    change. ``table="aux"`` gathers from ``RegMap.packed_aux`` (the
+    alternative payload, e.g. plane-regularized covariances)."""
     from .regmap import point_rows, radius_gate
 
     tp, drow = point_rows(points, mask, pose, regmap, grid_shape)
-    mega = regmap.packed[drow]  # (N, 96)
+    src = regmap.packed if table == "packed" else regmap.packed_aux
+    mega = src[drow]  # (N, 96)
     if kd_radius is not None and kd_radius > 0.0:
         mu = mega[:, :84].reshape(-1, 7, 12)[..., 0:3]
         act = radius_gate(tp, mu, mega[:, 84:91] > 0.5, kd_radius)
@@ -196,18 +320,23 @@ def gather_megaT(
 def fused_objective(
     ptsT, megaT, pose: Pose3, d1, d2, hess_lambda=1e-6,
     gicp: bool = False, gicp_max_mahal: float = 9.0, block: int = None,
-    interpret: bool = None,
+    interpret: bool = None, src_covT=None,
 ) -> NdtObjective:
     """Pallas side: the fused pair math on pre-gathered mega rows.
 
     With ``gicp=True`` the pair weight switches to the trimmed quadratic
     GICP cost (use a RegMap built from gicp_map; d1/d2 are ignored).
-    ``block`` overrides the point-block size (default BLOCK; tests on small
-    sharded inputs use smaller blocks). ``interpret`` must be True when the
-    computation executes on non-TPU devices; None falls back to the default
-    backend — callers that place work on an explicit (e.g. CPU test) mesh
-    while a TPU is the default backend MUST pass it (the default backend is
-    not where a shard_map over another platform's mesh runs)."""
+    With ``src_covT`` ((9, N) per-point body-frame source covariances) the
+    kernel runs the PLANE-TO-PLANE mode: megaT must carry the aux payload
+    (plane-regularized target COVARIANCES), the per-pair fusion
+    (C_t + R C_s R^T)^-1 happens in-register, and d2 carries
+    max_corr_dist^2. ``block`` overrides the point-block size (default
+    BLOCK; tests on small sharded inputs use smaller blocks). ``interpret``
+    must be True when the computation executes on non-TPU devices; None
+    falls back to the default backend — callers that place work on an
+    explicit (e.g. CPU test) mesh while a TPU is the default backend MUST
+    pass it (the default backend is not where a shard_map over another
+    platform's mesh runs)."""
     N = ptsT.shape[1]
     block = block or BLOCK
     if interpret is None:
@@ -222,18 +351,37 @@ def fused_objective(
             ),
         ]
     ).reshape(1, 16)
-    out = pl.pallas_call(
-        functools.partial(_kernel, gicp=gicp),
-        out_shape=jax.ShapeDtypeStruct((1, 64), jnp.float32),
-        grid=(N // block,),
-        in_specs=[
-            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((96, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        interpret=interpret,  # CPU tests / CPU meshes run interpreted
-    )(params, ptsT, megaT)[0]
+    if src_covT is not None:
+        out = pl.pallas_call(
+            _kernel_aniso,
+            out_shape=jax.ShapeDtypeStruct((1, 64), jnp.float32),
+            grid=(N // block,),
+            in_specs=[
+                pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((96, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 64), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            interpret=interpret,
+        )(params, ptsT, megaT, src_covT.astype(jnp.float32))[0]
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel, gicp=gicp),
+            out_shape=jax.ShapeDtypeStruct((1, 64), jnp.float32),
+            grid=(N // block,),
+            in_specs=[
+                pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((96, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 64), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            interpret=interpret,  # CPU tests / CPU meshes run interpreted
+        )(params, ptsT, megaT)[0]
 
     score = out[0]
     grad = out[1:7]

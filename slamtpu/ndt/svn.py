@@ -62,6 +62,13 @@ class SvnConfig(NamedTuple):
     #   from the mean publishes the MODE at negligible cost (one extra gather)
     #   while the covariance still comes from the particle spread. 0 keeps the
     #   reference's exact publish semantics (svn_ndt_impl.hpp:862-899).
+    polish_from: str = "prior"  # "prior" | "mean": polish start point. The
+    #   Stein flow's mean wanders with the posterior's flat directions (445 mm
+    #   measured at Berlin scale vs a 0.02 mm prior), so descending from the
+    #   PRIOR publishes a strictly better mode whenever the prior is sane —
+    #   the reference itself publishes the INS pose for the same reason
+    #   (run/pipeline_lo_svn.cpp:388-390). "mean" polishes the particle mean
+    #   (useful when the prior is degraded, e.g. GNSS denial).
     polish_pre_iters: int = 6  # "gicp_aniso" polish only: fused-NDT Newton
     #   contraction steps BEFORE the aniso stage. The SVN mean sits ~them
     #   far from the mode (measured 75 mm at kernel_h=5: kval ~= 1 for all
@@ -150,9 +157,10 @@ def svn_align_reg(
     from .pallas_math import BLOCK, fused_objective, gather_megaT
 
     use_fused = points.dtype == jnp.float32 and points.shape[0] % BLOCK == 0
+    if use_fused:
+        ptsT = points.T
 
     if cfg.shared_gather and use_fused:
-        ptsT = points.T
 
         def make_obj(mean_pose):
             megaT = gather_megaT(
@@ -203,17 +211,40 @@ def svn_align_reg(
 
         pts_s, _ = sanitize_points(points, mask)
 
-        def polish_make_obj(mean_pose):
-            _tp, mu_a, cov_a, act_a = regmap_mod.gather_pair_aux(
-                points, mask, mean_pose, regmap, grid_shape
-            )
+        if use_fused:
+            # fused plane-to-plane kernel: per-pair (C_t + R C_s R^T)^-1
+            # in-register — the XLA (N,7,3,3) inversion chain costs ~38 ms
+            # at Berlin scale and compiles for minutes on this backend
+            N = points.shape[0]
+            scovT = src_cov.reshape(N, 9).T.astype(jnp.float32)
 
-            def obj_fn(pose):
-                return score_grad_hess_gicp_aniso_gathered(
-                    pts_s, src_cov, pose, mu_a, cov_a, act_a, cfg.hess_lambda
+            def polish_make_obj(mean_pose):
+                megaT_aux = gather_megaT(
+                    points, mask, mean_pose, regmap, grid_shape, table="aux"
                 )
 
-            return obj_fn
+                def obj_fn(pose):
+                    return fused_objective(
+                        ptsT, megaT_aux, pose, 0.0, 25.0, cfg.hess_lambda,
+                        src_covT=scovT,
+                    )
+
+                return obj_fn
+
+        else:
+
+            def polish_make_obj(mean_pose):
+                _tp, mu_a, cov_a, act_a = regmap_mod.gather_pair_aux(
+                    points, mask, mean_pose, regmap, grid_shape
+                )
+
+                def obj_fn(pose):
+                    return score_grad_hess_gicp_aniso_gathered(
+                        pts_s, src_cov, pose, mu_a, cov_a, act_a,
+                        cfg.hess_lambda,
+                    )
+
+                return obj_fn
 
     return _svn_loop(
         make_obj, points.dtype, prior, rng_key, cfg, polish_make_obj
@@ -303,14 +334,24 @@ def _svn_loop(
 
             return polish_body
 
-        if polish_make_obj is not None and cfg.polish_pre_iters > 0:
-            # stage 1: contract on the primary (NDT) objective first
-            mean_pose = jax.lax.fori_loop(
-                0, cfg.polish_pre_iters, polish_step(make_obj), mean_pose
+        start = prior if cfg.polish_from == "prior" else mean_pose
+        if (
+            polish_make_obj is not None
+            and cfg.polish_pre_iters > 0
+            and cfg.polish_from == "mean"
+        ):
+            # stage 1 (mean start only): contract on the primary (NDT)
+            # objective first — the wandered mean needs basin-scale pulls the
+            # narrow aniso discs converge slowly on. A "prior" start is
+            # already near the mode, and the NDT pre-stage would first walk
+            # it to NDT's density-biased optimum (ground-ring aliasing:
+            # measured 101 mm at Berlin scale) before aniso pulls it back.
+            start = jax.lax.fori_loop(
+                0, cfg.polish_pre_iters, polish_step(make_obj), start
             )
         mean_pose = jax.lax.fori_loop(
             0, cfg.polish_iters, polish_step(polish_make_obj or make_obj),
-            mean_pose,
+            start,
         )
 
     # Posterior covariance: sample covariance of tangents at the final mean

@@ -58,6 +58,7 @@ _EXTENSION_KEYS = {
     "gicp_source_cov",
     "svn_polish_iters",
     "svn_polish_objective",
+    "svn_polish_from",
     "lidar_rot_sigma_floor",
     "lidar_trans_sigma_floor",
 }
@@ -106,6 +107,11 @@ class RegisterConfig:
     # the published mode from the GICP geometry. "ndt" polishes on the NDT
     # score itself.
     svn_polish_objective: str = "gicp_aniso"
+    # extension: polish start — "prior" (the INS-seeded pose; strictly better
+    # whenever the prior is sane, and what the reference effectively
+    # publishes) or "mean" (the Stein particle mean; for degraded-prior
+    # operation). See ndt.svn.SvnConfig.polish_from.
+    svn_polish_from: str = "prior"
     # extension: variance floor added to the registration covariance
     # -(H + eps I)^-1 before it enters a factor graph (odom_ndt / ligo_tc).
     # The GN Hessian's information scales with the number of contributing
@@ -198,6 +204,9 @@ class RegisterConfig:
             ),
             svn_polish_objective=str(
                 p.get("svn_polish_objective", defaults.svn_polish_objective)
+            ),
+            svn_polish_from=str(
+                p.get("svn_polish_from", defaults.svn_polish_from)
             ),
             lidar_rot_sigma_floor=float(
                 p.get("lidar_rot_sigma_floor", defaults.lidar_rot_sigma_floor)

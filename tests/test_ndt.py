@@ -307,7 +307,7 @@ class TestSVN:
         )
         res_pol = jax.jit(svn_align, static_argnames=("cfg",))(
             jnp.asarray(source), jnp.asarray(mask_s), gmap, init, key,
-            SvnConfig(**base, polish_iters=3),
+            SvnConfig(**base, polish_iters=3, polish_from="mean"),
         )
         newton_res = jax.jit(newton_align, static_argnames=("cfg",))(
             jnp.asarray(source), jnp.asarray(mask_s), gmap, init,

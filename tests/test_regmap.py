@@ -710,3 +710,53 @@ class TestAnisoPolish:
             svn_align_reg(pts, jnp.ones(500, bool), rmap,
                           se3.identity(dtype=pts.dtype), jax.random.PRNGKey(0),
                           cfg, (32, 32, 16))
+
+    def test_fused_aniso_kernel_matches_xla(self):
+        """The Pallas plane-to-plane kernel (in-register 3x3 fusion+inverse)
+        must reproduce the XLA gathered objective (interpret mode on CPU)."""
+        from slamtpu.ndt import build_regmap, regularize_plane_covariance
+        from slamtpu.ndt.gicp import (score_grad_hess_gicp_aniso_gathered,
+            source_point_covariances)
+        from slamtpu.ndt.pallas_math import fused_objective, gather_megaT
+        from slamtpu.ndt.regmap import gather_pair_aux
+
+        rng = np.random.default_rng(8)
+        N = 256
+        tgt = np.concatenate([
+            rng.normal(0, 0.3, (600, 3)) + [1.5, 1.5, 0.5],
+            rng.normal(0, 0.3, (600, 3)) + [3.5, 2.5, 1.0],
+        ])
+        gmap = gaussian_map.build_map(
+            jnp.asarray(tgt, jnp.float32), jnp.ones(len(tgt), bool),
+            jnp.asarray([-8.0, -8.0, -8.0], jnp.float32), RES,
+            capacity=256, min_points_per_voxel=4,
+        )
+        cov_r = regularize_plane_covariance(gmap.cov)
+        aux = jnp.concatenate([gmap.mean, cov_r.reshape(-1, 9)], axis=1)
+        rmap = build_regmap(gmap, grid_shape=(32, 32, 8), aux_payload=aux)
+        pts = jnp.asarray(
+            rng.normal(0, 0.8, (N, 3)) + [2.5, 2.0, 0.7], jnp.float32
+        )
+        mask = jnp.ones(N, bool)
+        scov = source_point_covariances(pts, mask, RES, capacity=256,
+                                        min_points_per_voxel=4)
+        pose = se3.retract(
+            se3.identity(dtype=jnp.float32),
+            jnp.asarray([0.02, -0.01, 0.05, 0.1, -0.08, 0.04], jnp.float32),
+        )
+        _tp, mu, cov_t, act = gather_pair_aux(pts, mask, pose, rmap, (32, 32, 8))
+        ref = score_grad_hess_gicp_aniso_gathered(
+            pts, scov.astype(jnp.float32), pose, mu, cov_t, act
+        )
+        megaT_aux = gather_megaT(pts, mask, pose, rmap, (32, 32, 8), table="aux")
+        scovT = scov.reshape(N, 9).T.astype(jnp.float32)
+        got = fused_objective(
+            pts.T, megaT_aux, pose, 0.0, 25.0, src_covT=scovT, block=64,
+            interpret=True,
+        )
+        assert int(got.n_contrib) == int(ref.n_contrib)
+        np.testing.assert_allclose(float(got.score), float(ref.score), rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(got.grad), np.asarray(ref.grad), rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got.hess), np.asarray(ref.hess), rtol=2e-4, atol=1e-4)
