@@ -13,6 +13,8 @@ Fully batched: one Expmap per point (cheap closed forms on the VPU).
 """
 from __future__ import annotations
 
+
+
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +22,7 @@ from ..core import se3
 from ..core.se3 import Pose3
 
 
+@jax.jit
 def deskew_points(
     points: jax.Array,  # (N, 3) body frame as decoded (sensor at sample time)
     alpha: jax.Array,  # (N,) in [0, 1]
@@ -37,6 +40,10 @@ def deskew_points(
 
 
 def deskew_scan(scan, pose_start: Pose3, pose_end: Pose3):
-    """Deskew a ScanBuffer in place (returns a new ScanBuffer)."""
+    """Deskew a ScanBuffer in place (returns a new ScanBuffer).
+
+    ``deskew_points`` is jitted: per-keyframe EAGER elementwise chains cost
+    ~6 ms per op through the TPU tunnel (~250 ms for the expmap chain,
+    BENCH_NOTES.md dispatch economics)."""
     new_pts = deskew_points(scan.points, scan.alpha, pose_start, pose_end)
     return scan._replace(points=new_pts)

@@ -380,6 +380,50 @@ class TestDeskew:
         t = app.run_replay(path)
         assert len(t) == 3 and traj_errors(t, gt).max() < 0.3
 
+    def test_maybe_deskew_anchors_on_scan_span(self, tmp_path):
+        """alpha is normalized over the SCAN's column span, but the sync
+        interval starts at the PREVIOUS sweep's end — naively taking
+        ins[0]/ins[-1] as the alpha=0/1 poses misanchors the interpolation
+        by the inter-sweep gap (cm-scale at speed). maybe_deskew must
+        interpolate the nav window at the scan's own timestamps and beat
+        the naive anchoring."""
+        from slamtpu.apps.common import IngestPipeline, ins_pose_ned, maybe_deskew
+        from slamtpu.lidar.deskew import deskew_points
+
+        meta = small_meta()
+        cfg = make_cfg(meta)
+        path = str(tmp_path / "skewed2.rpl")
+        traj = ArcTrajectory(v=6.0, yaw_rate=0.5)
+        gt = simulate_replay(path, meta, cfg.lidar, n_sweeps=4, traj=traj, skewed=True)
+        ing = IngestPipeline(cfg)
+        it = iter(ing.synced_frames(path))
+        next(it)  # the 2nd frame has a real inter-sweep gap before it
+        synced = next(it)
+        scan = ing.project(synced)
+        ref = np.asarray(synced.ins[-1].lla)
+        R, pos = gt[2]
+        gtp = se3.Pose3(jnp.asarray(R), jnp.asarray(pos))
+        m = np.asarray(scan.mask)
+
+        def plane_dist(w):
+            w = np.asarray(w)[m]
+            return np.median(
+                np.minimum.reduce(
+                    [np.abs(w[:, 2] - 2.0), np.abs(w[:, 0] - 60), np.abs(w[:, 1] - 40),
+                     np.abs(w[:, 0] + 60), np.abs(w[:, 1] + 40)]
+                )
+            )
+
+        naive = deskew_points(
+            scan.points, scan.alpha,
+            ins_pose_ned(synced.ins[0], ref), ins_pose_ned(synced.ins[-1], ref),
+        )
+        good = maybe_deskew(scan, synced, ref, True).points
+        d_naive = plane_dist(se3.transform_points(gtp, naive))
+        d_good = plane_dist(se3.transform_points(gtp, good))
+        assert d_good < d_naive, (d_good, d_naive)
+        assert d_good < 0.02, d_good
+
 
 class TestHostHelpers:
     def test_np_quat_to_rot_matches_so3(self):
