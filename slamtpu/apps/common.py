@@ -127,7 +127,8 @@ class IngestPipeline:
     def project(self, synced: SyncedFrame) -> ScanBuffer:
         fr = synced.scan
         packed = pack_frame(
-            fr.ranges_m, fr.reflectivity, fr.col_timestamp_s, fr.col_valid
+            fr.ranges_m, fr.reflectivity, fr.col_timestamp_s, fr.col_valid,
+            signal=fr.signal, nir=fr.nir,
         )
         return self._project(jnp.asarray(packed), self._dir, self._off, self.filters)
 

@@ -36,13 +36,21 @@ class ProjectionFilters(NamedTuple):
 
 
 class ScanBuffer(NamedTuple):
-    """Padded fixed-shape scan: flattened (cols*subset) points + validity."""
+    """Padded fixed-shape scan: flattened (cols*subset) points + validity.
+
+    Carries the full per-point radiometry of the reference's SoA cloud
+    (reflectivity + signal + NIR, /root/reference/include/dataframe.hpp:299-434)
+    so intensity-aided consumers see everything the decoder produced; signal
+    and NIR are None on paths that do not supply them (they are pytree leaves,
+    so jitted consumers specialize per presence)."""
 
     points: jax.Array  # (N, 3) float32, body frame
     mask: jax.Array  # (N,) bool
     alpha: jax.Array  # (N,) float32 in [0, 1]: intra-scan time fraction
     reflectivity: jax.Array  # (N,) uint8
     num_points: jax.Array  # () int32
+    signal: jax.Array | None = None  # (N,) uint16 signal photons
+    nir: jax.Array | None = None  # (N,) uint16 ambient NIR
 
 
 def project_frame(
@@ -53,6 +61,8 @@ def project_frame(
     direction: jax.Array,  # (cols, sub, 3) float32
     offset: jax.Array,  # (cols, 3) float32
     filters: ProjectionFilters,
+    signal: jax.Array | None = None,  # (cols, sub) uint16
+    nir: jax.Array | None = None,  # (cols, sub) uint16
 ) -> ScanBuffer:
     pts = ranges_m[..., None] * direction + offset[:, None, :]  # (cols, sub, 3)
 
@@ -87,34 +97,46 @@ def project_frame(
         alpha=alpha.reshape(n),
         reflectivity=reflectivity.reshape(n),
         num_points=jnp.sum(keep, dtype=jnp.int32),
+        signal=None if signal is None else signal.reshape(n),
+        nir=None if nir is None else nir.reshape(n),
     )
 
 
-def pack_frame(ranges_m, reflectivity, col_timestamp_s, col_valid):
+def pack_frame(ranges_m, reflectivity, col_timestamp_s, col_valid,
+               signal=None, nir=None):
     """Host side: one (cols, 2*sub + 2) float32 array carrying the whole
     decoded frame — each host->device transfer through the tunnel costs
     ~6 ms of latency, so the four per-frame inputs ship as ONE buffer.
     Column timestamps are re-based to the first column in float64 before the
-    float32 cast (absolute day-seconds would quantize at ~10 us)."""
+    float32 cast (absolute day-seconds would quantize at ~10 us).
+
+    With ``signal``/``nir`` ((cols, sub) uint16 each) the buffer widens to
+    (cols, 4*sub + 2) and the packed projection carries them to the
+    ScanBuffer — still ONE transfer (the width is a static shape, so the
+    projection jit specializes per layout). uint16 is exact in float32."""
     import numpy as np
 
     cols, sub = ranges_m.shape
-    out = np.empty((cols, 2 * sub + 2), np.float32)
+    extras = 2 * sub if signal is not None else 0
+    out = np.empty((cols, 2 * sub + extras + 2), np.float32)
     out[:, :sub] = ranges_m
     out[:, sub : 2 * sub] = reflectivity
+    if signal is not None:
+        out[:, 2 * sub : 3 * sub] = signal
+        out[:, 3 * sub : 4 * sub] = nir
     ts = np.asarray(col_timestamp_s, np.float64)
     valid = np.asarray(col_valid, bool)
     # rebase to the first VALID column — missing columns carry ts = 0.0, and
     # rebasing to one of those would leave ~86400-s absolutes whose float32
     # quantization (~10 ms) collapses the deskew alpha to a few levels
     base = ts[valid][0] if valid.any() else 0.0
-    out[:, 2 * sub] = ts - base
-    out[:, 2 * sub + 1] = valid
+    out[:, 2 * sub + extras] = ts - base
+    out[:, 2 * sub + extras + 1] = valid
     return out
 
 
 def project_frame_packed(
-    packed: jax.Array,  # (cols, 2*sub + 2) from pack_frame
+    packed: jax.Array,  # (cols, 2*sub + 2) or (cols, 4*sub + 2) from pack_frame
     direction: jax.Array,  # (cols, sub, 3) float32
     offset: jax.Array,  # (cols, 3) float32
     filters: ProjectionFilters,
@@ -123,11 +145,17 @@ def project_frame_packed(
     sub = direction.shape[1]
     ranges_m = packed[:, :sub]
     reflectivity = packed[:, sub : 2 * sub].astype(jnp.uint8)
-    col_timestamp_s = packed[:, 2 * sub]
-    col_valid = packed[:, 2 * sub + 1] > 0.5
+    with_radiometry = packed.shape[1] == 4 * sub + 2
+    extras = 2 * sub if with_radiometry else 0
+    signal = nir = None
+    if with_radiometry:
+        signal = packed[:, 2 * sub : 3 * sub].astype(jnp.uint16)
+        nir = packed[:, 3 * sub : 4 * sub].astype(jnp.uint16)
+    col_timestamp_s = packed[:, 2 * sub + extras]
+    col_valid = packed[:, 2 * sub + extras + 1] > 0.5
     return project_frame(
         ranges_m, reflectivity, col_timestamp_s, col_valid,
-        direction, offset, filters,
+        direction, offset, filters, signal=signal, nir=nir,
     )
 
 

@@ -284,6 +284,64 @@ class TestProjection:
         )
         assert int(b.num_points) == int(a.num_points)
 
+    def test_signal_nir_carried_to_scan_buffer(self):
+        """Golden packets -> FrameAssembler -> packed projection: the wire
+        signal/NIR words survive to the ScanBuffer unchanged (the reference's
+        SoA cloud keeps all three radiometry fields per point,
+        /root/reference/include/dataframe.hpp:299-434)."""
+        from slamtpu.lidar.project import pack_frame, project_frame_packed
+
+        meta = make_meta(cols=8, pix=4, cpp=4)
+        params = LidarParams()
+        luts = build_luts(meta, params)
+        asm = FrameAssembler(meta, luts)
+        fields = {}
+        frames = []
+        for k in range(2):
+            for p in range(2):
+                ranges, refl, sig, nir = random_fields(meta, 4)
+                if k == 0:
+                    fields[p] = (sig, nir)
+                pkt = build_rng19_packet(
+                    meta, k, [p * 4 + i for i in range(4)],
+                    [int(1e9 + (k * 8 + p * 4 + i) * 1e5) for i in range(4)],
+                    ranges, refl, sig, nir,
+                )
+                out = asm.push_packet(pkt)
+                if out is not None:
+                    frames.append(out)
+        fr = frames[0]
+        # decoder grid carries the wire words (subset = all channels here)
+        for p, (sig, nir) in fields.items():
+            np.testing.assert_array_equal(fr.signal[p * 4 : p * 4 + 4], sig)
+            np.testing.assert_array_equal(fr.nir[p * 4 : p * 4 + 4], nir)
+        packed = pack_frame(
+            fr.ranges_m, fr.reflectivity, fr.col_timestamp_s, fr.col_valid,
+            signal=fr.signal, nir=fr.nir,
+        )
+        sb = project_frame_packed(
+            jnp.asarray(packed), jnp.asarray(luts.direction),
+            jnp.asarray(luts.offset), filters_from_params(params),
+        )
+        assert sb.signal is not None and sb.nir is not None
+        np.testing.assert_array_equal(
+            np.asarray(sb.signal).reshape(8, 4), fr.signal
+        )
+        np.testing.assert_array_equal(np.asarray(sb.nir).reshape(8, 4), fr.nir)
+        # the radiometry-free packed layout still projects identically
+        sb0 = project_frame_packed(
+            jnp.asarray(pack_frame(
+                fr.ranges_m, fr.reflectivity, fr.col_timestamp_s, fr.col_valid
+            )),
+            jnp.asarray(luts.direction), jnp.asarray(luts.offset),
+            filters_from_params(params),
+        )
+        assert sb0.signal is None and sb0.nir is None
+        np.testing.assert_allclose(
+            np.asarray(sb0.points), np.asarray(sb.points), atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(sb0.mask), np.asarray(sb.mask))
+
     def test_alpha_normalized(self):
         meta = make_meta(cols=8, pix=4, cpp=4)
         params = LidarParams()
