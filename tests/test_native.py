@@ -92,3 +92,51 @@ class TestAnppNative:
         np.testing.assert_allclose(fields[3][:12], np.arange(12) * 0.25, atol=1e-6)
         np.testing.assert_allclose(fields[4][0], 3600.55, atol=1e-6)
         assert int(fields[4][14]) == 0x5A
+
+
+def test_push_packets_matches_push_packet():
+    """FrameAssembler.push_packets (batched native decode + one scatter per
+    frame run) emits the same FrameGrids as the per-packet path — including
+    a rejected packet in the middle (wrong packet type), which both paths
+    must treat as invisible."""
+    from slamtpu.lidar import FrameAssembler
+
+    meta = make_meta(cols=16, pix=8, cpp=4)
+    luts = build_luts(meta, LidarParams(channel_stride=2))
+    bufs = []
+    for k in range(3):  # 3 frames x 4 packets
+        for p in range(4):
+            ranges, refl, sig, nir = random_fields(meta, 4)
+            pkt = build_rng19_packet(
+                meta, k, [p * 4 + i for i in range(4)],
+                [int(1e9 + (k * 16 + p * 4 + i) * 1e5) for i in range(4)],
+                ranges, refl, sig, nir,
+            )
+            bufs.append(pkt)
+    # corrupt one packet's type word: parse_packet returns None for it
+    bad = bytearray(bufs[5])
+    bad[0] = 0x42
+    bufs[5] = bytes(bad)
+
+    a, b = FrameAssembler(meta, luts), FrameAssembler(meta, luts)
+    seq = []
+    for buf in bufs:
+        fr = a.push_packet(buf)
+        if fr is not None:
+            seq.append(fr)
+    bat = b.push_packets(bufs)
+    assert len(seq) == len(bat) == 2
+    for fa, fb in zip(seq, bat):
+        assert fa.frame_id == fb.frame_id
+        np.testing.assert_array_equal(fa.col_valid, fb.col_valid)
+        np.testing.assert_array_equal(fa.ranges_m, fb.ranges_m)
+        np.testing.assert_array_equal(fa.reflectivity, fb.reflectivity)
+        np.testing.assert_array_equal(fa.signal, fb.signal)
+        np.testing.assert_array_equal(fa.nir, fb.nir)
+        np.testing.assert_allclose(fa.col_timestamp_s, fb.col_timestamp_s, atol=0)
+        assert fa.timestamp == fb.timestamp and fa.timestamp_end == fb.timestamp_end
+    # tails match too
+    ta, tb = a.flush(), b.flush()
+    assert (ta is None) == (tb is None)
+    if ta is not None:
+        np.testing.assert_array_equal(ta.ranges_m, tb.ranges_m)
