@@ -299,9 +299,12 @@ def bench_lo_berlin(n_sweeps: int = 30, rebuild_every: int = 6):
         imu=__import__("slamtpu.ins.imu_config", fromlist=["ImuConfig"]).ImuConfig(),
         register=RegisterConfig(
             # the published pose comes from the prior-start polish; the SVN
-            # flow supplies the posterior covariance, which stabilizes well
-            # before 30 iterations (ATE-identical at 16, measured)
-            svn_resolution=1.0, svn_particles=20, svn_max_iterations=16,
+            # flow supplies the posterior covariance, which is fully
+            # stabilized long before the budget: at this operating point the
+            # posterior sigmas at 4/8/16 iterations agree within 0.25% and
+            # ATE is bit-identical (round-4 measurement, BENCH_NOTES.md) —
+            # 8 keeps a 2x safety margin at half the stage-1 cost
+            svn_resolution=1.0, svn_particles=20, svn_max_iterations=8,
             svn_kernel_h=5.0, svn_step_size=1.0,
             map_capacity=1 << 17,
             min_points_per_voxel=4, keyframe_window=5,

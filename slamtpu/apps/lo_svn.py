@@ -37,7 +37,10 @@ log = logging.getLogger("slamtpu.lo_svn")
 
 @partial(
     jax.jit,
-    static_argnames=("svn_cfg", "capacity", "min_points", "grid_shape", "publish_svn"),
+    static_argnames=(
+        "svn_cfg", "capacity", "min_points", "grid_shape", "publish_svn",
+        "scan_grid",
+    ),
     donate_argnums=(0, 1),
 )
 def _lo_svn_step(
@@ -54,12 +57,15 @@ def _lo_svn_step(
     min_points: int,
     grid_shape: tuple = None,
     publish_svn: bool = True,
+    scan_grid: tuple = None,  # (cols, sub) of the projected sweep: enables
+    #   the range-image stencil source covariances (ndt.gicp.
+    #   stencil_point_covariances, ~15 ms cheaper than the sort-based path)
 ):
     """One fused SVN keyframe: map build over the keyframe window, K-particle
     SVN flow, ring-buffer insert of the new cloud at the anchor pose, and
-    PRNG split — all in one dispatch. The scalar results return as ONE (51,)
-    vector [pose(12), cov(36), iterations, converged, n_voxels]; per-array
-    transfers cost ~6 ms each through the TPU tunnel.
+    PRNG split — all in one dispatch. The scalar results return as ONE (52,)
+    vector [pose(12), cov(36), iterations, converged, n_voxels, score];
+    per-array transfers cost ~6 ms each through the TPU tunnel.
 
     The map+RegMap rebuild (the dominant keyframe cost, ~66 ms at Berlin
     scale) only runs when the rebuild flag is set; in between, registration
@@ -106,15 +112,16 @@ def _lo_svn_step(
             return build_regmap(gmap, grid_shape=grid_shape, aux_payload=aux)
 
         def do_build(_):
-            gmap = gaussian_map.build_map(
-                kf_points.reshape(K * N, 3),
-                kf_mask.reshape(K * N),
-                origin,
-                svn_cfg.resolution,
-                capacity=capacity,
-                min_points_per_voxel=min_points,
-            )
-            rm = _builder(gmap, grid_shape=grid_shape)
+            with jax.named_scope("map_rebuild"):
+                gmap = gaussian_map.build_map(
+                    kf_points.reshape(K * N, 3),
+                    kf_mask.reshape(K * N),
+                    origin,
+                    svn_cfg.resolution,
+                    capacity=capacity,
+                    min_points_per_voxel=min_points,
+                )
+                rm = _builder(gmap, grid_shape=grid_shape)
             # match the cache's dtypes exactly (x64 test mode widens some
             # scalars) — cond branches must agree
             return jax.tree.map(lambda a, e: a.astype(e.dtype), rm, regmap_in)
@@ -122,13 +129,21 @@ def _lo_svn_step(
         regmap = jax.lax.cond(rebuild, do_build, lambda _: regmap_in, None)
         src_cov = None
         if aniso:
-            from ..ndt import source_point_covariances
+            with jax.named_scope("src_covariances"):
+                if scan_grid is not None:
+                    from ..ndt.gicp import stencil_point_covariances
 
-            src_cov = source_point_covariances(
-                new_points, new_mask, svn_cfg.resolution,
-                capacity=min(capacity, 1 << 14),
-                min_points_per_voxel=min_points,
-            )
+                    src_cov = stencil_point_covariances(
+                        new_points, new_mask, scan_grid
+                    )
+                else:
+                    from ..ndt import source_point_covariances
+
+                    src_cov = source_point_covariances(
+                        new_points, new_mask, svn_cfg.resolution,
+                        capacity=min(capacity, 1 << 14),
+                        min_points_per_voxel=min_points,
+                    )
         res = svn_align_reg(
             new_points, new_mask, regmap, prior, sub, svn_cfg, grid_shape,
             src_cov=src_cov,
@@ -139,12 +154,13 @@ def _lo_svn_step(
     # reference's target clouds sit at INS-derived poses,
     # run/pipeline_lo_svn.cpp:376-390 — keeps SVN per-keyframe errors from
     # compounding through the map) or the published odometry pose
-    anchor = jax.tree.map(
-        lambda a, b: jnp.where(flat[16] > 0.5, a, b), prior, published
-    )
-    world_pts = se3.transform_points(anchor, new_points)
-    kf_points = kf_points.at[head].set(world_pts)
-    kf_mask = kf_mask.at[head].set(new_mask)
+    with jax.named_scope("ring_insert"):
+        anchor = jax.tree.map(
+            lambda a, b: jnp.where(flat[16] > 0.5, a, b), prior, published
+        )
+        world_pts = se3.transform_points(anchor, new_points)
+        kf_points = kf_points.at[head].set(world_pts)
+        kf_mask = kf_mask.at[head].set(new_mask)
     scalars = jnp.concatenate(
         [
             published.rot.ravel().astype(f32),
@@ -155,6 +171,7 @@ def _lo_svn_step(
                     res.iterations.astype(f32),
                     res.converged.astype(f32),
                     n_voxels.astype(f32),
+                    res.score.astype(f32),
                 ]
             ),
         ]
@@ -209,6 +226,13 @@ class LoSvnApp:
         self._kf_head = 0
         self._origin = None
         self._key = jax.random.PRNGKey(self.seed)
+        # range-image layout of projected sweeps (for the stencil source
+        # covariances); None falls back to the sort-based voxel path
+        self._scan_grid = (
+            (self.cfg.meta.columns_per_frame, self.ingest.luts.subset_channels)
+            if reg.svn_src_cov == "stencil"
+            else None
+        )
         self._cadence = MapRebuildCadence(
             reg,
             tuple(reg.reg_grid_shape) if reg.use_regmap else None,
@@ -262,10 +286,10 @@ class LoSvnApp:
             scalars = np.asarray(scalars, np.float64)
             published = Pose3(scalars[0:9].reshape(3, 3), scalars[9:12])
             cov = scalars[12:48].reshape(6, 6)
-            iters, converged, _n_voxels = scalars[48:51]
+            iters, converged, _n_voxels, score = scalars[48:52]
             self._record(
                 synced, int(num_points), published, ins_pose, cov,
-                int(iters), bool(converged > 0.5), 0.0, dt_ms,
+                int(iters), bool(converged > 0.5), float(score), dt_ms,
             )
 
     def process(self, synced):
@@ -333,6 +357,7 @@ class LoSvnApp:
                     reg.min_points_per_voxel,
                     grid_shape,
                     self.publish == "svn",
+                    self._scan_grid,
                 )
             )
         self._kf_head = (self._kf_head + 1) % int(self.cfg.register.keyframe_window)

@@ -93,6 +93,11 @@ class SvnResult(NamedTuple):
     iterations: jax.Array  # () int32
     converged: jax.Array  # () bool
     particles: Pose3  # (K,) final particle poses
+    score: jax.Array = jnp.float32(0.0)  # () objective at the published pose —
+    #   the reference's per-keyframe convergence-health signal
+    #   (run/pipeline_lo_svn.cpp:418-447 logging). With polish enabled it is
+    #   the last polish step's evaluation (pre-retract — the same contract as
+    #   newton_align_fused); without polish, one extra evaluation at the mean.
 
 
 def _pairwise_kernel(particles: Pose3, kernel_h: float):
@@ -281,7 +286,12 @@ def _svn_loop(
         particles, mean_last, it, _converged = state
         # Stage 1: NDT derivatives per particle (batched over K); the
         # objective may share work anchored at the current mean pose.
-        obj_fn = make_obj(mean_last)
+        # (named scopes land in the op metadata of the compiled program, so a
+        # --profile trace decomposes the keyframe by stage — the analog of
+        # the reference's per-iteration S1/S2/S3 prints,
+        # svn_ndt_impl.hpp:880-891.)
+        with jax.named_scope("svn_gather"):
+            obj_fn = make_obj(mean_last)
 
         def eval_particle(pose):
             obj = obj_fn(pose)
@@ -291,28 +301,32 @@ def _svn_loop(
             H = jnp.where(jnp.all(jnp.isfinite(obj.hess)), obj.hess, I6)
             return g, H
 
-        grads, hessians = jax.vmap(eval_particle)(particles)  # (K,6), (K,6,6)
+        with jax.named_scope("svn_particle_eval"):
+            grads, hessians = jax.vmap(eval_particle)(particles)  # (K,6), (K,6,6)
         # Stage 2: Stein-variational Newton update.
-        kval, kgrad = _pairwise_kernel(particles, cfg.kernel_h)  # (K,K), (K,K,6)
-        phi = (jnp.einsum("lk,la->ka", kval, grads) + jnp.sum(kgrad, axis=0)) / K
-        Ht = (
-            jnp.einsum("lk,lab->kab", kval * kval, hessians)
-            + jnp.einsum("lka,lkb->kab", kgrad, kgrad)
-        ) / K
-        Ht = Ht + cfg.svn_hess_lambda * I6
-        updates = jnp.linalg.solve(Ht, -phi[..., None])[..., 0]  # (K, 6)
-        updates = jnp.where(
-            jnp.all(jnp.isfinite(updates), axis=-1, keepdims=True), updates, 0.0
-        )
+        with jax.named_scope("svn_stein_update"):
+            kval, kgrad = _pairwise_kernel(particles, cfg.kernel_h)  # (K,K), (K,K,6)
+            phi = (jnp.einsum("lk,la->ka", kval, grads) + jnp.sum(kgrad, axis=0)) / K
+            Ht = (
+                jnp.einsum("lk,lab->kab", kval * kval, hessians)
+                + jnp.einsum("lka,lkb->kab", kgrad, kgrad)
+            ) / K
+            Ht = Ht + cfg.svn_hess_lambda * I6
+            updates = jnp.linalg.solve(Ht, -phi[..., None])[..., 0]  # (K, 6)
+            updates = jnp.where(
+                jnp.all(jnp.isfinite(updates), axis=-1, keepdims=True), updates, 0.0
+            )
         # Stage 3: retract particles.
-        particles = se3.retract(particles, cfg.step_size * updates)
-        mean_now = mean_pose_of(particles)
-        delta = jnp.linalg.norm(se3.local(mean_last, mean_now))
+        with jax.named_scope("svn_retract"):
+            particles = se3.retract(particles, cfg.step_size * updates)
+            mean_now = mean_pose_of(particles)
+            delta = jnp.linalg.norm(se3.local(mean_last, mean_now))
         return particles, mean_now, it + 1, delta < cfg.stop_thresh
 
     state0 = (particles0, prior, jnp.asarray(0, jnp.int32), jnp.asarray(False))
     particles, mean_pose, iters, converged = jax.lax.while_loop(cond, body, state0)
 
+    score = jnp.asarray(0.0, jnp.float32)
     if cfg.polish_iters > 0:
         # MAP polish: Newton ascent from the particle mean — on the NDT score
         # or on a dedicated polish objective (e.g. plane-to-plane GICP).
@@ -320,7 +334,8 @@ def _svn_loop(
         # at Berlin scale; measured: fresh-gather aniso Newton reaches 5 mm
         # in 2 steps from a 25 mm-off start where stale-gather needed >8).
         def polish_step(mk_fn):
-            def polish_body(_i, pose):
+            def polish_body(_i, carry):
+                pose, _score = carry
                 obj = mk_fn(pose)(pose)
                 step = jnp.linalg.solve(obj.hess, -obj.grad)
                 step = jnp.where(
@@ -330,7 +345,10 @@ def _svn_loop(
                 # the mean is already near the optimum: a large step means a
                 # degenerate Hessian, so clamp hard rather than trust it
                 step = step * jnp.minimum(1.0, 0.25 / jnp.maximum(nrm, 1e-30))
-                return se3.retract(pose, step.astype(dtype))
+                return (
+                    se3.retract(pose, step.astype(dtype)),
+                    obj.score.astype(jnp.float32),
+                )
 
             return polish_body
 
@@ -346,25 +364,34 @@ def _svn_loop(
             # already near the mode, and the NDT pre-stage would first walk
             # it to NDT's density-biased optimum (ground-ring aliasing:
             # measured 101 mm at Berlin scale) before aniso pulls it back.
-            start = jax.lax.fori_loop(
-                0, cfg.polish_pre_iters, polish_step(make_obj), start
+            with jax.named_scope("svn_polish_pre"):
+                start, _ = jax.lax.fori_loop(
+                    0, cfg.polish_pre_iters, polish_step(make_obj),
+                    (start, score),
+                )
+        with jax.named_scope("svn_polish"):
+            mean_pose, score = jax.lax.fori_loop(
+                0, cfg.polish_iters, polish_step(polish_make_obj or make_obj),
+                (start, score),
             )
-        mean_pose = jax.lax.fori_loop(
-            0, cfg.polish_iters, polish_step(polish_make_obj or make_obj),
-            start,
-        )
+    else:
+        # no polish: one extra evaluation at the published mean supplies the
+        # score (the SVN loop only evaluates particle poses)
+        with jax.named_scope("svn_final_score"):
+            score = make_obj(mean_pose)(mean_pose).score.astype(jnp.float32)
 
     # Posterior covariance: sample covariance of tangents at the final mean
     # (svn_ndt_impl.hpp:903-949), eigenvalue-floored.
-    mean_b = Pose3(
-        jnp.broadcast_to(mean_pose.rot, (K, 3, 3)),
-        jnp.broadcast_to(mean_pose.trans, (K, 3)),
-    )
-    tangents = se3.local(mean_b, particles)  # (K, 6)
-    if K > 1:
-        centered = tangents - jnp.mean(tangents, axis=0, keepdims=True)
-        cov = centered.T @ centered / (K - 1)
-    else:
-        cov = jnp.diag(1e-6 * sigmas**2)
-    cov = linalg.eig_floor_psd(cov, cfg.cov_eig_floor)
-    return SvnResult(mean_pose, cov, iters, converged, particles)
+    with jax.named_scope("svn_posterior"):
+        mean_b = Pose3(
+            jnp.broadcast_to(mean_pose.rot, (K, 3, 3)),
+            jnp.broadcast_to(mean_pose.trans, (K, 3)),
+        )
+        tangents = se3.local(mean_b, particles)  # (K, 6)
+        if K > 1:
+            centered = tangents - jnp.mean(tangents, axis=0, keepdims=True)
+            cov = centered.T @ centered / (K - 1)
+        else:
+            cov = jnp.diag(1e-6 * sigmas**2)
+        cov = linalg.eig_floor_psd(cov, cfg.cov_eig_floor)
+    return SvnResult(mean_pose, cov, iters, converged, particles, score)

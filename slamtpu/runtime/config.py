@@ -112,6 +112,13 @@ class RegisterConfig:
     # publishes) or "mean" (the Stein particle mean; for degraded-prior
     # operation). See ndt.svn.SvnConfig.polish_from.
     svn_polish_from: str = "prior"
+    # extension: source-covariance construction for the plane-to-plane
+    # polish/engine. "stencil" computes each point's plane-regularized
+    # covariance from its RANGE-IMAGE neighborhood (pure shifts + FMA,
+    # <1 ms; ndt.gicp.stencil_point_covariances); "voxel" is the sort-based
+    # voxelized analog of gicp_omp's kNN covariances (~15 ms per Berlin
+    # sweep). Apps fall back to "voxel" when the scan has no grid layout.
+    svn_src_cov: str = "stencil"
     # extension: variance floor added to the registration covariance
     # -(H + eps I)^-1 before it enters a factor graph (odom_ndt / ligo_tc).
     # The GN Hessian's information scales with the number of contributing
@@ -208,6 +215,7 @@ class RegisterConfig:
             svn_polish_from=str(
                 p.get("svn_polish_from", defaults.svn_polish_from)
             ),
+            svn_src_cov=str(p.get("svn_src_cov", defaults.svn_src_cov)),
             lidar_rot_sigma_floor=float(
                 p.get("lidar_rot_sigma_floor", defaults.lidar_rot_sigma_floor)
             ),

@@ -44,11 +44,24 @@ def enable_persistent_cache(path: str | None = None) -> None:
     """Idempotent; safe to call from every entry point before the first jit."""
     import jax
 
-    path = path or os.environ.get("SLAMTPU_XLA_CACHE", _DEFAULT_DIR)
-    path = os.path.join(path, f"host-{_host_fingerprint()}")
+    root = path or os.environ.get("SLAMTPU_XLA_CACHE", _DEFAULT_DIR)
+    # Salt with the jaxlib build too: a serialized XLA:CPU executable is
+    # machine code for the writing host's ISA *and* runtime ABI — loading a
+    # foreign entry has segfaulted inside cpu_aot_loader (observed killing a
+    # full pytest run mid-suite). Same-salt == same CPU flags + same jaxlib.
+    salt = f"host-{_host_fingerprint()}-jaxlib{jax.__version__}"
+    cache_dir = os.path.join(root, salt)
     try:
-        os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
+        os.makedirs(cache_dir, exist_ok=True)
+        # prune foreign-host cache dirs: they can never be read safely here
+        # and would otherwise accumulate unboundedly across machines
+        for entry in os.listdir(root):
+            stale = os.path.join(root, entry)
+            if entry != salt and os.path.isdir(stale):
+                import shutil
+
+                shutil.rmtree(stale, ignore_errors=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception as e:  # pragma: no cover - config names vary across jax

@@ -123,6 +123,10 @@ def assert_stats_filled(app):
     assert abs(np.linalg.norm(r.optimized_pose[:4]) - 1.0) < 1e-6
     assert np.isfinite(r.pose_rmse)
     assert np.isfinite(r.lidar_sigma).all()
+    # the registration score is the per-keyframe convergence-health signal
+    # every reference log line carries (run/pipeline_lo_svn.cpp:418-447);
+    # a registered keyframe against a non-empty map scores nonzero
+    assert np.isfinite(r.score) and r.score != 0.0, r.score
 
 
 class TestOdomNdt:

@@ -449,6 +449,51 @@ class TestGicpAniso:
         aligned = np.abs(normals[:, 2]) > 0.99
         assert np.mean(aligned[w[:, 0] < 0.01]) > 0.95
 
+    def test_stencil_covariances_capture_plane_normals(self):
+        """Range-image stencil source covariances: on a smooth tilted plane
+        every interior pixel's covariance is a disc whose normal matches the
+        plane; a depth edge does NOT mix the two surfaces (distance gate);
+        masked pixels fall back to the isotropic sigma^2 I."""
+        from slamtpu.ndt.gicp import stencil_point_covariances
+
+        cols, sub = 48, 8
+        # tilted plane z = 0.2 x + 0.1 y sampled on a regular grid
+        cs, ss = np.meshgrid(np.arange(cols), np.arange(sub), indexing="ij")
+        x = cs.astype(np.float64) * 0.1
+        y = ss.astype(np.float64) * 0.1
+        z = 0.2 * x + 0.1 * y
+        pts = np.stack([x, y, z], -1).reshape(-1, 3)
+        # shove the last 16 columns to a far background surface (depth edge)
+        pts = pts.copy()
+        far = (cs >= 32).reshape(-1)
+        pts[far] += np.array([50.0, 0.0, 30.0])
+        mask = np.ones(cols * sub, bool)
+        mask[:sub] = False  # first column masked -> isotropic fallback nearby
+        cov = np.asarray(
+            stencil_point_covariances(
+                jnp.asarray(pts), jnp.asarray(mask), (cols, sub)
+            )
+        )
+        w, V = np.linalg.eigh(cov)
+        n_true = np.array([-0.2, -0.1, 1.0])
+        n_true /= np.linalg.norm(n_true)
+        # interior near-plane pixels: disc normal ~ plane normal
+        interior = ((cs >= 3) & (cs <= 28) & (ss >= 2) & (ss <= 5)).reshape(-1)
+        normals = V[:, :, 0]
+        align = np.abs(normals[interior] @ n_true)
+        assert np.mean(align > 0.99) > 0.95, np.mean(align)
+        # boundary columns just this side of the depth edge must not mix the
+        # far surface: their covariance stays disc-like (planar), not a
+        # pencil spanning the 58-m gap (trace would explode)
+        edge = ((cs == 31) & (ss >= 2) & (ss <= 5)).reshape(-1)
+        assert np.all(np.trace(cov[edge], axis1=1, axis2=2) < 10.0)
+        # masked pixels are isotropic fallback
+        np.testing.assert_allclose(
+            cov[:sub],
+            np.broadcast_to((0.05**2) * np.eye(3), (sub, 3, 3)),
+            atol=1e-9,
+        )
+
     def test_gicp_aniso_converges_two_planes(self, setup):
         from slamtpu.ndt import (NewtonConfig, gicp_align_aniso, gicp_map_aniso,
                                  source_point_covariances)
