@@ -16,6 +16,29 @@ import os
 import sys
 
 
+def _viz_hold(viewer, hold_s: float) -> None:
+    """Keep serving the viewer after the replay finishes.
+
+    0 returns immediately (the daemon server dies with the process);
+    positive sleeps that many seconds; negative blocks until Ctrl-C —
+    the analogue of the reference's viewer thread join on shutdown
+    (run/pipeline.cpp:975-985).
+    """
+    import time
+
+    if hold_s == 0:
+        return
+    print(f"replay done — viewer still serving at {viewer.url}"
+          + ("" if hold_s > 0 else " (Ctrl-C to exit)"))
+    try:
+        if hold_s > 0:
+            time.sleep(hold_s)
+        else:
+            viewer.wait_forever()
+    except KeyboardInterrupt:
+        pass
+
+
 def main(argv=None):
     from .runtime.jaxcache import enable_persistent_cache
 
@@ -52,11 +75,30 @@ def main(argv=None):
         "--save-checkpoint", help="ins_map / lo_svn: write a checkpoint (.npz)"
     )
     p.add_argument("--profile", action="store_true", help="write a jax profiler trace")
+    p.add_argument(
+        "--viz", action="store_true",
+        help="serve a live point-cloud/trajectory viewer on localhost "
+        "(the reference's PCL visualizer threads, run/pipeline.cpp:826-985)",
+    )
+    p.add_argument("--viz-port", type=int, default=8433)
+    p.add_argument(
+        "--viz-hold", type=float, default=0.0,
+        help="seconds to keep serving the viewer after the replay finishes "
+        "(0 exits immediately; negative holds until Ctrl-C)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING)
     os.makedirs(args.out, exist_ok=True)
+
+    viewer = None
+    if args.viz:
+        from slamtpu.apps.common import VizHook
+        from slamtpu.runtime.viewer import LiveViewer
+
+        viewer = LiveViewer(port=args.viz_port)
+        print(f"live viewer: {viewer.url}")
 
     from slamtpu.runtime.config import PipelineConfig
 
@@ -85,6 +127,8 @@ def main(argv=None):
             print(f"decoded {len(frames)} nav frames -> {args.out}/compass.csv")
             return 0
         if args.app == "viz_lidar":
+            import numpy as np
+
             from slamtpu.apps import VizLidarApp
 
             app = VizLidarApp(cfg)
@@ -92,11 +136,19 @@ def main(argv=None):
             for i, fr in enumerate(frames[:10]):
                 n = app.export_frame(fr, os.path.join(args.out, f"scan_{i:04d}.ply"))
                 print(f"frame {fr.frame_id}: {n} points")
+            if viewer is not None:
+                hook = VizHook(viewer)
+                for fr in frames:
+                    sb = app.project(fr)
+                    viewer.push_cloud(hook.subsample(sb), fr.frame_id)
+                _viz_hold(viewer, args.viz_hold)
             return 0
         if args.app == "ins_map":
             from slamtpu.apps import InsMapApp
 
             app = InsMapApp(cfg)
+            if viewer is not None:
+                app.viz = VizHook(viewer)
             if args.resume:
                 app.resume_from(args.resume)
             traj = app.run_replay(args.replay, args.max_keyframes)
@@ -107,6 +159,8 @@ def main(argv=None):
             from slamtpu.apps import LoSvnApp
 
             app = LoSvnApp(cfg, publish=args.publish, anchor=args.anchor)
+            if viewer is not None:
+                app.viz = VizHook(viewer)
             if args.resume:
                 app.resume_from(args.resume)
             traj = app.run_replay(args.replay, args.max_keyframes)
@@ -116,6 +170,8 @@ def main(argv=None):
             from slamtpu.apps import OdomNdtApp
 
             app = OdomNdtApp(cfg, loop_closure=args.loop_closure, method=args.method)
+            if viewer is not None:
+                app.viz = VizHook(viewer)
             traj = app.run_replay(args.replay, args.max_keyframes)
             if args.loop_closure:
                 _, closures = app.refine_loop_closures()
@@ -124,6 +180,8 @@ def main(argv=None):
             from slamtpu.apps import LigoTcApp
 
             app = LigoTcApp(cfg)
+            if viewer is not None:
+                app.viz = VizHook(viewer)
             traj = app.run_replay(args.replay, args.max_keyframes)
 
         write_trajectory_tum(
@@ -142,6 +200,8 @@ def main(argv=None):
         if hasattr(app, "timer"):
             print("stages:", app.timer.summary())
         print(f"{args.app}: {len(traj)} keyframes -> {args.out}/trajectory.tum")
+        if viewer is not None:
+            _viz_hold(viewer, args.viz_hold)
         return 0
     finally:
         if prof_ctx is not None:

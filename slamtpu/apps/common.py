@@ -203,6 +203,36 @@ class MapRebuildCadence:
         return rebuild
 
 
+class VizHook:
+    """Optional live-viewer attachment (``--viz``).
+
+    The reference feeds visualizer threads through a viz queue with windowed
+    cloud eviction (run/pipeline.cpp:826-985); here each keyframe's scan is
+    stride-subsampled host-side, posed into the world frame with the
+    published pose, and pushed to a :class:`slamtpu.runtime.viewer.LiveViewer`
+    (which owns the sliding window). One ~100 KB device->host transfer per
+    keyframe at the default stride — viz is opt-in, never on the bench path.
+    """
+
+    def __init__(self, viewer, stride: int = 8):
+        self.viewer = viewer
+        self.stride = max(int(stride), 1)
+
+    def subsample(self, scan) -> np.ndarray:
+        """Host (M, 3) body-frame points of a projected ScanBuffer."""
+        pts = np.asarray(scan.points[:: self.stride])
+        msk = np.asarray(scan.mask[:: self.stride])
+        return pts[msk]
+
+    def push(self, body_pts: Optional[np.ndarray], pose, frame_id: int) -> None:
+        if body_pts is None:
+            return
+        R = np.asarray(pose.rot, np.float64)
+        t = np.asarray(pose.trans, np.float64)
+        self.viewer.push_cloud(body_pts @ R.T + t, frame_id)
+        self.viewer.push_pose(t)
+
+
 @dataclasses.dataclass
 class TrajectoryEntry:
     timestamp: float

@@ -61,6 +61,7 @@ class InsMapApp:
         self._stats = None
         self.out_of_range_points = 0  # points beyond the packed-key extent
         self._oor_pending: list = []  # device scalars awaiting a host sync
+        self.viz = None  # Optional[common.VizHook] — set by the CLI's --viz
 
     def run_replay(self, replay_path: str, max_keyframes: int = 10**9):
         for synced in self.ingest.synced_frames(replay_path):
@@ -93,6 +94,8 @@ class InsMapApp:
         self._oor_pending.append(oor)
         if len(self._oor_pending) >= 16:
             self._drain_oor(synced.scan.frame_id)
+        if self.viz is not None:
+            self.viz.push(self.viz.subsample(scan), pose, synced.scan.frame_id)
         self.trajectory.append(
             TrajectoryEntry(synced.t_end, synced.scan.frame_id, pose, pose)
         )

@@ -151,6 +151,7 @@ class LigoTcApp:
         self.noise = ImuNoise.from_imu_config(self.cfg.imu)
         self.trajectory: List[TrajectoryEntry] = []
         self.stats = StatsArchive()
+        self.viz = None  # Optional[common.VizHook] — set by the CLI's --viz
         self.timer = StageTimer()
         self._ref_lla: Optional[np.ndarray] = None
         self._origin = None
@@ -286,6 +287,9 @@ class LigoTcApp:
             )
             self._insert_keyframe(scan, first)
             self._win = [first]
+            if self.viz is not None:
+                self.viz.push(self.viz.subsample(scan), ins_pose,
+                              synced.scan.frame_id)
             self.trajectory.append(
                 TrajectoryEntry(synced.t_end, synced.scan.frame_id, ins_pose, ins_pose)
             )
@@ -375,6 +379,10 @@ class LigoTcApp:
             # _fuse writes the optimized states back into self._win
             pose_opt, vel_opt, bias_opt, cov_opt = self._fuse()
         self._insert_keyframe(scan, entry)  # body; _ligo_step transforms
+        if self.viz is not None:
+            self.viz.push(self.viz.subsample(scan),
+                          Pose3(pose_opt[0], pose_opt[1]),
+                          synced.scan.frame_id)
         self.trajectory.append(
             TrajectoryEntry(
                 synced.t_end, synced.scan.frame_id,

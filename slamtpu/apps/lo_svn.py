@@ -214,6 +214,7 @@ class LoSvnApp:
         )
         self._trajectory: List[TrajectoryEntry] = []
         self._stats_archive = StatsArchive()
+        self.viz = None  # Optional[common.VizHook] — set by the CLI's --viz
         self._pending: List[tuple] = []  # keyframes whose device results are
         #   still in flight: the per-keyframe host sync is deferred so the
         #   next frame's decode overlaps the device step (the prior is the
@@ -282,11 +283,13 @@ class LoSvnApp:
                     "RegMap truncated %d dilated cells (capacity/grid too "
                     "small) — raise map_capacity or reg_grid_shape", ovf,
                 )
-        for synced, num_points, ins_pose, dt_ms, scalars in pending:
+        for synced, num_points, ins_pose, dt_ms, scalars, viz_pts in pending:
             scalars = np.asarray(scalars, np.float64)
             published = Pose3(scalars[0:9].reshape(3, 3), scalars[9:12])
             cov = scalars[12:48].reshape(6, 6)
             iters, converged, _n_voxels, score = scalars[48:52]
+            if self.viz is not None:
+                self.viz.push(viz_pts, published, synced.scan.frame_id)
             self._record(
                 synced, int(num_points), published, ins_pose, cov,
                 int(iters), bool(converged > 0.5), float(score), dt_ms,
@@ -317,6 +320,10 @@ class LoSvnApp:
             self._kf_mask = self._kf_mask.at[self._kf_head].set(scan.mask)
             self._kf_head = (self._kf_head + 1) % self._kf_points.shape[0]
             self._n_keyframes += 1
+            if self.viz is not None:
+                self.viz.push(
+                    self.viz.subsample(scan), ins_pose, synced.scan.frame_id
+                )
             self._record(
                 synced, int(scan.num_points), ins_pose, ins_pose, None, 0,
                 True, 0.0, 0.0,
@@ -364,7 +371,8 @@ class LoSvnApp:
         self._n_keyframes += 1
         self._pending.append(
             (synced, scan.num_points, ins_pose,
-             self.timer.last_ms("svn_step"), scalars)
+             self.timer.last_ms("svn_step"), scalars,
+             self.viz.subsample(scan) if self.viz is not None else None)
         )
         if len(self._pending) >= 64:  # bound the in-flight queue
             self.flush()

@@ -398,6 +398,7 @@ class OdomNdtApp:
             self._key = jax.random.PRNGKey(1234)
         self._trajectory: List[TrajectoryEntry] = []
         self._stats = StatsArchive()
+        self.viz = None  # Optional[common.VizHook] — set by the CLI's --viz
         self.timer = StageTimer()
         self._ref_lla: Optional[np.ndarray] = None
         self._origin = None  # numpy (3,)
@@ -530,7 +531,8 @@ class OdomNdtApp:
         )
         self._pending.append(
             (synced, int(scan.num_points), ins_pose, ins_sigma, scaled_sigma,
-             self.timer.last_ms("step"), det_cloud, out)
+             self.timer.last_ms("step"), det_cloud, out,
+             self.viz.subsample(scan) if self.viz is not None else None)
         )
         if len(self._pending) > 2:
             self._drain_one()
@@ -542,13 +544,16 @@ class OdomNdtApp:
 
     def _drain_one(self):
         (synced, num_points, ins_pose, ins_sigma, scaled_sigma, dt_ms, det_cloud,
-         out_dev) = self._pending.pop(0)
+         out_dev, viz_pts) = self._pending.pop(0)
         out = np.asarray(out_dev, np.float64)
         pose_opt = (out[0:9].reshape(3, 3), out[9:12])
         cov_opt = out[12:48].reshape(6, 6)
         lidar_cov = out[48:84].reshape(6, 6)
         rel = (out[84:93].reshape(3, 3), out[93:96])
         ndt_score, ndt_iters, ndt_converged, w = out[96:100]
+        if self.viz is not None:
+            self.viz.push(viz_pts, Pose3(pose_opt[0], pose_opt[1]),
+                          synced.scan.frame_id)
         if self._detector is not None:
             self._odo_rels.append((rel, lidar_cov))
             self._closures += self._detector.add_keyframe(
@@ -614,6 +619,9 @@ class OdomNdtApp:
             prev_mask=scan.mask,
         )
         self._n_keyframes += 1
+        if self.viz is not None:
+            self.viz.push(self.viz.subsample(scan), ins_pose,
+                          synced.scan.frame_id)
         if self._detector is not None:
             # copies: the originals enter the donated carry as prev_points
             self._closures += self._detector.add_keyframe(

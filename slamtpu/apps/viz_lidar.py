@@ -41,8 +41,9 @@ class VizLidarApp:
                     break
         return self.frames
 
-    def export_frame(self, frame: FrameGrid, path: str):
-        sb = self._project(
+    def project(self, frame: FrameGrid):
+        """Projected ScanBuffer of a decoded sweep (body frame)."""
+        return self._project(
             jnp.asarray(frame.ranges_m),
             jnp.asarray(frame.reflectivity),
             jnp.asarray(frame.col_timestamp_s.astype(np.float32)),
@@ -51,5 +52,8 @@ class VizLidarApp:
             jnp.asarray(self.luts.offset),
             self.filters,
         )
+
+    def export_frame(self, frame: FrameGrid, path: str):
+        sb = self.project(frame)
         write_ply(np.asarray(sb.points), path, mask=np.asarray(sb.mask))
         return int(sb.num_points)
