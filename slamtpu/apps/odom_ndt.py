@@ -157,7 +157,7 @@ def _register_step(
         return NewtonResult(
             pose=res.pose,
             hessian=hess,
-            score=jnp.zeros((), new_points.dtype),
+            score=res.score.astype(new_points.dtype),
             iterations=res.iterations,
             converged=res.converged,
             n_contrib=jnp.zeros((), jnp.int32),

@@ -439,6 +439,7 @@ def newton_align_fused(
     reg_pose: Pose3 = None,
     interpret: bool = None,
     block: int = None,
+    final_eval: bool = False,
     _gicp: bool = False,
     _gicp_max_mahal: float = 9.0,
 ) -> "NewtonResult":
@@ -458,11 +459,15 @@ def newton_align_fused(
     ``reg_pose`` (with ``cfg.reg_weight > 0``) adds the prior-pose
     regularization penalty to each step (NewtonConfig.reg_weight).
 
-    Note: the returned (score, hessian) are evaluated at the pose BEFORE the
-    final retract — within ``trans_eps`` of the returned pose once converged
-    (the non-fused ``newton_align`` re-evaluates instead; here the extra
-    gather+kernel launch would cost ~10% of the registration, and the apps
-    consume the Hessian only as a converged-pose covariance).
+    Contract: by default the returned (score, hessian) are evaluated at the
+    pose BEFORE the final retract — within ``trans_eps`` of the returned pose
+    once converged (the extra gather+kernel launch would cost ~10% of the
+    registration, and the apps consume the Hessian only as a converged-pose
+    covariance). Pass ``final_eval=True`` to re-evaluate the objective at the
+    RETURNED pose instead, matching the non-fused ``newton_align`` /
+    ``newton_align_reg`` contract exactly (the reference prices factors off
+    the converged-pose Hessian, run/pipeline.cpp:594-604). Pinned by
+    tests/test_regmap.py::TestFusedContract.
     """
     from .constants import gauss_constants
     from .newton import NewtonResult, regularize_step
@@ -557,6 +562,17 @@ def newton_align_fused(
         jnp.asarray(0, jnp.int32),
     )
     pose, iters, converged, score, hess, nc = jax.lax.while_loop(cond, body, init_state)
+    if final_eval:
+        megaT = gather_megaT(
+            points, mask, pose, regmap, grid_shape,
+            kd_radius=getattr(cfg, "kd_radius", 0.0),
+        )
+        obj = fused_objective(
+            ptsT, megaT, pose, d1, d2, cfg.hess_lambda,
+            gicp=_gicp, gicp_max_mahal=_gicp_max_mahal, interpret=interpret,
+            block=block,
+        )
+        score, hess, nc = obj.score, obj.hess, obj.n_contrib
     return NewtonResult(pose, hess, score, iters, converged, nc)
 
 
@@ -570,6 +586,7 @@ def newton_align_fused_batch(
     inner_iters: int = 1,
     interpret: bool = None,
     block: int = None,
+    final_eval: bool = False,
 ) -> "NewtonResult":
     """Register B scans against ONE shared map in a single dispatch.
 
@@ -582,6 +599,6 @@ def newton_align_fused_batch(
     return jax.vmap(
         lambda p, m, ip: newton_align_fused(
             p, m, regmap, ip, cfg, grid_shape, inner_iters,
-            interpret=interpret, block=block,
+            interpret=interpret, block=block, final_eval=final_eval,
         )
     )(points, mask, init_pose)

@@ -19,6 +19,10 @@ from slamtpu.ndt import (
 )
 from tests.oracles import two_plane_cloud
 
+# heavy lane: whole-app replays / multi-device suites / subprocess spawns;
+# excluded from the default fast lane (pytest.ini: -m "not slow")
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(77)
 RES = 1.0
 GRID = (128, 128, 32)
@@ -356,6 +360,72 @@ class TestFusedKernel:
                 np.asarray(jax.tree.map(lambda a: a[b], batch.pose).rot),
                 np.asarray(single.pose.rot), atol=5e-4,
             )
+
+
+class TestFusedContract:
+    """Pin the fused/non-fused NewtonResult (score, hess) contract.
+
+    The non-fused ``newton_align_reg`` re-evaluates the objective at the
+    converged pose (newton.py::_newton_loop); the fused path by default
+    returns the evaluation at the pose BEFORE the final retract, and
+    ``final_eval=True`` re-evaluates at the returned pose to match the
+    reference's converged-pose factor pricing (run/pipeline.cpp:594-604).
+    """
+
+    def _padded(self, source):
+        from slamtpu.ndt.pallas_math import BLOCK
+
+        n = len(source)
+        n_pad = -(-n // BLOCK) * BLOCK
+        pts = np.zeros((n_pad, 3), np.float32)
+        pts[:n] = source
+        mask = np.zeros(n_pad, bool)
+        mask[:n] = True
+        return jnp.asarray(pts), jnp.asarray(mask)
+
+    def test_final_eval_matches_objective_at_returned_pose(self, setup):
+        from slamtpu.ndt import NewtonConfig, newton_align_fused
+
+        _, regmap, source, gt = setup
+        pts, mask = self._padded(source)
+        regmap32 = jax.tree.map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, regmap
+        )
+        cfg = NewtonConfig(resolution=RES, max_iterations=32, trans_eps=5e-3)
+        init = se3.cast(
+            se3.retract(gt, jnp.asarray([0.02, -0.03, 0.05, 0.2, -0.15, 0.1])),
+            jnp.float32,
+        )
+        default = newton_align_fused(pts, mask, regmap32, init, cfg, GRID)
+        final = newton_align_fused(
+            pts, mask, regmap32, init, cfg, GRID, final_eval=True
+        )
+        # the flag must not perturb the optimization itself
+        np.testing.assert_array_equal(
+            np.asarray(final.pose.trans), np.asarray(default.pose.trans)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(final.pose.rot), np.asarray(default.pose.rot)
+        )
+        assert int(final.iterations) == int(default.iterations)
+        assert bool(final.converged) and bool(default.converged)
+        # final_eval=True == the non-fused contract: objective AT res.pose
+        d1, d2, _ = gauss_constants(RES, 0.55)
+        obj = score_grad_hess_reg(
+            pts, mask, final.pose, regmap32, d1, d2, GRID, cfg.hess_lambda
+        )
+        np.testing.assert_allclose(
+            float(final.score), float(obj.score), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.hessian), np.asarray(obj.hess), rtol=1e-3, atol=1e-2
+        )
+        assert int(final.n_contrib) == int(obj.n_contrib)
+        # converged => the default (pre-retract) evaluation is within the
+        # trans_eps neighborhood: close, but not required to be identical
+        np.testing.assert_allclose(
+            float(default.score), float(obj.score), rtol=5e-3
+        )
 
 
 class TestFusedGicp:
