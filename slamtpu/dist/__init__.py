@@ -6,6 +6,7 @@ from .sharded import (
     newton_align_sharded,
     newton_align_sharded_fused,
     newton_align_sharded_reg,
+    svn_align_sharded,
 )
 
 __all__ = [
@@ -15,5 +16,6 @@ __all__ = [
     "newton_align_sharded",
     "newton_align_sharded_fused",
     "newton_align_sharded_reg",
+    "svn_align_sharded",
     "lo_train_step",
 ]

@@ -426,6 +426,210 @@ def lo_train_step(
     return pose, hess, score, iters, new_stats
 
 
+def svn_align_sharded(
+    mesh: Mesh,
+    points: jax.Array,  # (N, 3) float32, replicated (N multiple of block)
+    mask: jax.Array,  # (N,), replicated
+    regmap,  # ndt.RegMap, replicated
+    prior: Pose3,  # replicated
+    rng_key: jax.Array,
+    cfg,  # ndt.SvnConfig (shared_gather semantics; polish_objective="ndt")
+    grid_shape: tuple,
+    axis_name: str = "data",
+    block: int = None,
+):
+    """SVN-NDT with the K-particle axis sharded over the mesh.
+
+    The single-chip path (ndt.svn.svn_align_reg) vmaps stage 1 over K
+    particles; here each chip evaluates the fused NDT objective for its
+    K/D local particles — the elevation of the reference's OpenMP stage-1
+    fan-out (svn_ndt_impl.hpp:719-813) to the pod. Stage 2's kernel moments
+    are sums over the SOURCE particle axis l:
+
+        phi[k]  = (1/K) sum_l  k[l,k] grad[l] + dk[l,k]
+        Ht[k]   = (1/K) sum_l  k[l,k]^2 H[l]  + dk[l,k] dk[l,k]^T
+
+    so each chip forms the partial moments for ALL K columns from its local
+    rows and a ``psum_scatter`` both reduces over chips AND hands every chip
+    exactly its K/D rows of (phi, Ht) — each 6-dof Stein-Newton solve runs
+    once on one chip, not D times. Per iteration the wire carries one
+    all_gather of particle poses (K x 12 floats) + the scattered moments
+    (K x 42 floats) + one 6-float psum for the mean: all ICI-cheap next to
+    stage 1's K/D fused-kernel dispatches.
+
+    Particle init, convergence, polish ("ndt" objective only) and the
+    posterior mean/covariance match the single-chip semantics; parity is
+    pinned by tests/test_dist.py::TestSvnSharded.
+    Returns the same SvnResult pytree (particles gathered to (K,)).
+    """
+    from ..core import linalg
+    from ..ndt.pallas_math import fused_objective, gather_megaT
+    from ..ndt.svn import INIT_SIGMAS, SvnResult, _pairwise_kernel  # noqa: F401
+
+    assert cfg.polish_objective == "ndt", (
+        "svn_align_sharded supports the NDT polish objective only "
+        "(gicp_aniso needs the aux gather + src_cov plumbing)"
+    )
+    K = cfg.num_particles
+    n_dev = mesh.shape[axis_name]
+    assert K % n_dev == 0, (K, n_dev)
+    assert K > 1, "particle covariance needs K >= 2"
+    lk = K // n_dev
+    d1, d2, _ = gauss_constants(cfg.resolution, cfg.outlier_ratio)
+    dtype = jnp.float32
+    interpret = mesh.devices.flat[0].platform != "tpu"
+    I6 = jnp.eye(6, dtype=dtype)
+
+    # identical replicated init draw as the single-chip path; each chip
+    # slices its lk rows via the sharded in_spec
+    sigmas = jnp.asarray(INIT_SIGMAS, dtype=dtype)
+    xi0 = sigmas * jax.random.normal(rng_key, (K, 6), dtype=dtype)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name)),
+        out_specs=(P(), P(), P(), P(), P(axis_name), P()),
+        check_rep=False,
+    )
+    def _run(pts, msk, rmap, prior_rep, xi_local):
+        ptsT = pts.T.astype(dtype)
+        prior_lb = Pose3(
+            jnp.broadcast_to(prior_rep.rot, (lk, 3, 3)),
+            jnp.broadcast_to(prior_rep.trans, (lk, 3)),
+        )
+        local0 = se3.retract(prior_lb, xi_local)
+
+        def make_obj(mean_pose):
+            with jax.named_scope("svn_gather"):
+                megaT = gather_megaT(
+                    pts, msk, mean_pose, rmap, grid_shape,
+                    kd_radius=cfg.kd_radius,
+                )
+
+            def obj_fn(pose):
+                return fused_objective(
+                    ptsT, megaT, pose, d1, d2, cfg.hess_lambda,
+                    block=block, interpret=interpret,
+                )
+
+            return obj_fn
+
+        def mean_from(local):
+            xi = se3.local(prior_lb, local)  # (lk, 6) tangent at prior
+            s = jax.lax.psum(jnp.sum(xi, axis=0), axis_name)
+            return se3.retract(prior_rep, s / K)
+
+        def cond(state):
+            _local, _mean, it, converged = state
+            return (it < cfg.max_iterations) & (~converged)
+
+        def body(state):
+            local, mean_last, it, _conv = state
+            obj_fn = make_obj(mean_last)
+
+            def eval_particle(pose):
+                obj = obj_fn(pose)
+                g = jnp.where(
+                    jnp.all(jnp.isfinite(obj.grad)), obj.grad,
+                    jnp.zeros_like(obj.grad),
+                )
+                H = jnp.where(jnp.all(jnp.isfinite(obj.hess)), obj.hess, I6)
+                return g, H
+
+            with jax.named_scope("svn_particle_eval"):
+                grads, hessians = jax.vmap(eval_particle)(local)  # (lk,...)
+
+            with jax.named_scope("svn_stein_update"):
+                # kernel rows: local particles l; columns: ALL K particles
+                all_p = jax.tree.map(
+                    lambda a: jax.lax.all_gather(a, axis_name, tiled=True),
+                    local,
+                )
+                inv = se3.inverse(local)
+                rel = se3.compose(
+                    Pose3(inv.rot[:, None], inv.trans[:, None]),
+                    Pose3(all_p.rot[None, :], all_p.trans[None, :]),
+                )
+                diff = se3.logmap(rel)  # (lk, K, 6)
+                sq = jnp.sum(diff * diff, axis=-1)
+                kval = jnp.exp(-sq / cfg.kernel_h)
+                kgrad = kval[..., None] * (-2.0 / cfg.kernel_h) * diff
+                phi_part = jnp.einsum("lk,la->ka", kval, grads) + jnp.sum(
+                    kgrad, axis=0
+                )  # (K, 6) partial over local l
+                Ht_part = jnp.einsum(
+                    "lk,lab->kab", kval * kval, hessians
+                ) + jnp.einsum("lka,lkb->kab", kgrad, kgrad)  # (K, 6, 6)
+                # reduce over chips AND scatter rows: each chip receives the
+                # fully-summed moments for exactly its lk particles
+                phi = jax.lax.psum_scatter(
+                    phi_part, axis_name, scatter_dimension=0, tiled=True
+                ) / K
+                Ht = jax.lax.psum_scatter(
+                    Ht_part, axis_name, scatter_dimension=0, tiled=True
+                ) / K
+                Ht = Ht + cfg.svn_hess_lambda * I6
+                updates = jnp.linalg.solve(Ht, -phi[..., None])[..., 0]
+                updates = jnp.where(
+                    jnp.all(jnp.isfinite(updates), axis=-1, keepdims=True),
+                    updates, 0.0,
+                )
+            with jax.named_scope("svn_retract"):
+                local = se3.retract(local, cfg.step_size * updates)
+                mean_now = mean_from(local)
+                delta = jnp.linalg.norm(se3.local(mean_last, mean_now))
+            return local, mean_now, it + 1, delta < cfg.stop_thresh
+
+        state0 = (local0, prior_rep, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        local, mean_pose, iters, converged = jax.lax.while_loop(
+            cond, body, state0
+        )
+
+        score = jnp.asarray(0.0, jnp.float32)
+        if cfg.polish_iters > 0:
+            # replicated MAP polish on the NDT objective (ndt.svn semantics)
+            def polish_body(_i, carry):
+                pose, _score = carry
+                obj = make_obj(pose)(pose)
+                step = jnp.linalg.solve(obj.hess, -obj.grad)
+                step = jnp.where(
+                    jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step)
+                )
+                nrm = jnp.linalg.norm(step)
+                step = step * jnp.minimum(1.0, 0.25 / jnp.maximum(nrm, 1e-30))
+                return (
+                    se3.retract(pose, step.astype(dtype)),
+                    obj.score.astype(jnp.float32),
+                )
+
+            start = prior_rep if cfg.polish_from == "prior" else mean_pose
+            with jax.named_scope("svn_polish"):
+                mean_pose, score = jax.lax.fori_loop(
+                    0, cfg.polish_iters, polish_body, (start, score)
+                )
+        else:
+            with jax.named_scope("svn_final_score"):
+                score = make_obj(mean_pose)(mean_pose).score.astype(jnp.float32)
+
+        with jax.named_scope("svn_posterior"):
+            mean_lb = Pose3(
+                jnp.broadcast_to(mean_pose.rot, (lk, 3, 3)),
+                jnp.broadcast_to(mean_pose.trans, (lk, 3)),
+            )
+            tang = se3.local(mean_lb, local)  # (lk, 6)
+            mean_t = jax.lax.psum(jnp.sum(tang, axis=0), axis_name) / K
+            centered = tang - mean_t[None, :]
+            cov = jax.lax.psum(centered.T @ centered, axis_name) / (K - 1)
+            cov = linalg.eig_floor_psd(cov, cfg.cov_eig_floor)
+        return mean_pose, cov, iters, converged, local, score
+
+    pose, cov, iters, converged, particles, score = _run(
+        points, mask, regmap, prior, xi0
+    )
+    return SvnResult(pose, cov, iters, converged, particles, score)
+
+
 def batch_align_sharded(
     mesh: Mesh,
     points: jax.Array,  # (B, N, 3), B divisible by mesh size

@@ -11,6 +11,10 @@ from slamtpu.dist import build_map_sharded, lo_train_step, make_mesh, newton_ali
 from slamtpu.mapping import gaussian_map
 from slamtpu.ndt import NewtonConfig, newton_align
 
+# heavy lane: whole-app replays / multi-device suites / subprocess spawns;
+# excluded from the default fast lane (pytest.ini: -m "not slow")
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(21)
 
 
@@ -184,6 +188,95 @@ class TestShardedFused:
         np.testing.assert_allclose(float(score), float(ref.score), rtol=7e-3)
 
 
+class TestSvnSharded:
+    def _setup(self):
+        rng = np.random.default_rng(5)
+        N = 2048  # one fused block; points are REPLICATED (particles shard)
+        centers = rng.uniform(2, 30, (24, 3)) * np.array([1, 1, 0.25])
+        world = (
+            centers[rng.integers(0, 24, N)] + rng.normal(0, 0.3, (N, 3))
+        ).astype(np.float32)
+        pts = jnp.asarray(world)
+        mask = jnp.ones(N, bool)
+        origin = jnp.asarray([-8.0, -8.0, -8.0], jnp.float32)
+        gmap = gaussian_map.build_map(
+            pts, mask, origin, 1.0, capacity=4096, min_points_per_voxel=4
+        )
+        from slamtpu.ndt import build_regmap
+
+        rm = build_regmap(gmap, grid_shape=(48, 48, 16))
+        gt = se3.expmap(
+            jnp.asarray([0.01, -0.008, 0.02, 0.15, -0.1, 0.05], jnp.float32)
+        )
+        src = se3.transform_points(se3.inverse(gt), pts)
+        return src, mask, rm, gt
+
+    def test_matches_single_device(self):
+        """Particle-axis sharding must reproduce the single-chip SVN flow:
+        same init draw, same per-iteration updates (up to psum reduction
+        order), same posterior mean/covariance and score."""
+        from slamtpu.dist import make_mesh, svn_align_sharded
+        from slamtpu.ndt import SvnConfig, svn_align_reg
+
+        src, mask, rm, gt = self._setup()
+        cfg = SvnConfig(
+            resolution=1.0, num_particles=16, max_iterations=6,
+            polish_iters=2, polish_from="prior", shared_gather=True,
+        )
+        key = jax.random.PRNGKey(3)
+        prior = se3.retract(
+            gt, jnp.asarray([0.004, -0.003, 0.002, 0.02, -0.01, 0.015], jnp.float32)
+        )
+        mesh = make_mesh()
+        d = svn_align_sharded(mesh, src, mask, rm, prior, key, cfg, (48, 48, 16))
+        s = svn_align_reg(src, mask, rm, prior, key, cfg, (48, 48, 16))
+        np.testing.assert_allclose(
+            np.asarray(d.pose.trans), np.asarray(s.pose.trans), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(d.pose.rot), np.asarray(s.pose.rot), atol=2e-4
+        )
+        assert int(d.iterations) == int(s.iterations)
+        np.testing.assert_allclose(
+            np.asarray(d.covariance), np.asarray(s.covariance),
+            rtol=2e-2, atol=1e-7,
+        )
+        np.testing.assert_allclose(float(d.score), float(s.score), rtol=1e-3)
+        # particle clouds agree particle-for-particle (same init slice order)
+        np.testing.assert_allclose(
+            np.asarray(d.particles.trans), np.asarray(s.particles.trans),
+            atol=5e-4,
+        )
+
+    def test_collectives(self):
+        """Per SVN iteration: one all_gather of particle poses (rot+trans),
+        the stage-2 moments reduced+scattered, one 6-float psum for the
+        mean; the posterior adds two psums. Stage 1 (the FLOPs) is
+        communication-free."""
+        from slamtpu.dist import make_mesh, svn_align_sharded
+        from slamtpu.ndt import SvnConfig, build_regmap
+
+        src, mask, rm, _gt = self._setup()
+        cfg = SvnConfig(
+            resolution=1.0, num_particles=16, max_iterations=4, polish_iters=2
+        )
+        mesh = make_mesh()
+        jx = jax.make_jaxpr(
+            lambda p, m, r, pr, k: svn_align_sharded(
+                mesh, p, m, r, pr, k, cfg, (48, 48, 16)
+            )
+        )(src, mask, rm, se3.identity(dtype=jnp.float32), jax.random.PRNGKey(0))
+        counts = TestCollectiveCounts._count(jx)
+        assert counts.get("all_gather", 0) == 2, counts
+        # psum_scatter lowers to reduce_scatter (phi + Ht)
+        rs = counts.get("reduce_scatter", 0) + counts.get("psum_scatter", 0)
+        assert rs == 2, counts
+        # loop-body mean + posterior (tangent mean, covariance)
+        assert counts.get("psum", 0) == 3, counts
+        assert counts.get("ppermute", 0) == 0, counts
+        assert counts.get("all_to_all", 0) == 0, counts
+
+
 class TestBatchAlignSharded:
     def test_matches_unsharded_batch(self):
         """Data-parallel serving mode: B scans sharded over the mesh must
@@ -253,7 +346,10 @@ class TestCollectiveCounts:
     43-float psum per Newton step'). A regression that silently adds
     collectives (e.g. an accidental replication constraint) fails here."""
 
-    NAMES = {"psum", "all_gather", "ppermute", "reduce_scatter", "all_to_all"}
+    NAMES = {
+        "psum", "all_gather", "ppermute", "reduce_scatter", "psum_scatter",
+        "all_to_all",
+    }
 
     @staticmethod
     def _count(jx):
