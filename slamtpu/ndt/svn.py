@@ -93,7 +93,9 @@ class SvnResult(NamedTuple):
     iterations: jax.Array  # () int32
     converged: jax.Array  # () bool
     particles: Pose3  # (K,) final particle poses
-    score: jax.Array = jnp.float32(0.0)  # () objective at the published pose —
+    score: jax.Array = 0.0  # () objective at the published pose — (plain-float
+    #   default: a jnp default would initialize a backend at import time,
+    #   tests/test_import_hygiene.py; every code path sets it explicitly) —
     #   the reference's per-keyframe convergence-health signal
     #   (run/pipeline_lo_svn.cpp:418-447 logging). With polish enabled it is
     #   the last polish step's evaluation (pre-retract — the same contract as

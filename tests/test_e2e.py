@@ -23,6 +23,10 @@ from slamtpu.ndt import SvnConfig
 from slamtpu.runtime.config import PipelineConfig, RegisterConfig
 from tests.simulator import ArcTrajectory, PlaneWorld, simulate_replay, small_meta
 
+# heavy lane: whole-app replays / multi-device suites / subprocess spawns;
+# excluded from the default fast lane (pytest.ini: -m "not slow")
+pytestmark = pytest.mark.slow
+
 N_SWEEPS = 8
 
 

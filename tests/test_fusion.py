@@ -26,6 +26,11 @@ from slamtpu.fusion import (
 from slamtpu.fusion import pose_graph as pg
 from slamtpu.fusion import smoother
 from slamtpu.fusion.preintegration import residual as imu_residual
+import pytest
+
+# heavy lane: whole-app replays / multi-device suites / subprocess spawns;
+# excluded from the default fast lane (pytest.ini: -m "not slow")
+pytestmark = pytest.mark.slow
 
 RNG = np.random.default_rng(13)
 NOISE = ImuNoise(

@@ -19,6 +19,12 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
+# heavy lane: each test spawns a subprocess that re-imports the whole package
+# cold (~40 s each); excluded from the default fast lane (pytest.ini)
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 _NO_BACKEND_CHECK = """

@@ -13,6 +13,10 @@ from slamtpu.runtime.udp import UdpConfig
 from tests.simulator import simulate_replay, small_meta
 from tests.test_e2e import make_cfg
 
+# heavy lane: whole-app replays / multi-device suites / subprocess spawns;
+# excluded from the default fast lane (pytest.ini: -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 class CollectorApp:
     def __init__(self):

@@ -5,6 +5,11 @@ import numpy as np
 
 from slamtpu.core import se3
 from slamtpu.fusion.loop_closure import LoopClosure, LoopClosureConfig, LoopDetector, refine_trajectory
+import pytest
+
+# heavy lane: whole-app replays / multi-device suites / subprocess spawns;
+# excluded from the default fast lane (pytest.ini: -m "not slow")
+pytestmark = pytest.mark.slow
 
 RNG = np.random.default_rng(31)
 
