@@ -35,20 +35,12 @@ from .common import maybe_deskew as common_deskew
 log = logging.getLogger("slamtpu.lo_svn")
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "svn_cfg", "capacity", "min_points", "grid_shape", "publish_svn",
-        "scan_grid",
-    ),
-    donate_argnums=(0, 1),
-)
-def _lo_svn_step(
+def _lo_svn_core(
     kf_points,  # (K, N, 3) world-frame keyframe clouds (ring buffer, donated)
     kf_mask,  # (K, N) (donated)
     new_points,  # (N, 3) body frame
     new_mask,  # (N,)
-    flat,  # (17,): [prior pose(12), origin(3), rebuild flag(1), ins-anchor flag(1)]
+    flat,  # (>=17,): [prior pose(12), origin(3), rebuild flag(1), ins-anchor flag(1)]
     head,  # () int32 ring-buffer slot to overwrite
     key,  # PRNG key (device-resident)
     regmap_in,  # RegMap from the previous rebuild (regmap path only)
@@ -179,6 +171,89 @@ def _lo_svn_step(
     return kf_points, kf_mask, key, scalars, regmap
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "svn_cfg", "capacity", "min_points", "grid_shape", "publish_svn",
+        "scan_grid",
+    ),
+    donate_argnums=(0, 1),
+)
+def _lo_svn_step(
+    kf_points, kf_mask, new_points, new_mask, flat, head, key, regmap_in,
+    svn_cfg: SvnConfig, capacity: int, min_points: int,
+    grid_shape: tuple = None, publish_svn: bool = True,
+    scan_grid: tuple = None,
+):
+    """Fused keyframe on an already-projected scan (see _lo_svn_core)."""
+    return _lo_svn_core(
+        kf_points, kf_mask, new_points, new_mask, flat, head, key, regmap_in,
+        svn_cfg, capacity, min_points, grid_shape, publish_svn, scan_grid,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "svn_cfg", "capacity", "min_points", "grid_shape", "publish_svn",
+        "scan_grid", "filters", "deskew",
+    ),
+    donate_argnums=(0, 1),
+)
+def _lo_svn_step_packed(
+    kf_points,  # (K, N, 3) (donated)
+    kf_mask,  # (K, N) (donated)
+    packed,  # (cols, W) pack_frame buffer: the ONE host->device transfer
+    dir_lut,  # (cols, sub, 3) device-resident projection LUT
+    off_lut,  # (cols, 3)
+    flat,  # (41,): [prior(12), origin(3), rebuild(1), ins-anchor(1),
+    #   deskew pose_start(12), deskew pose_end(12)]
+    head,
+    key,
+    regmap_in,
+    svn_cfg: SvnConfig,
+    capacity: int,
+    min_points: int,
+    grid_shape: tuple = None,
+    publish_svn: bool = True,
+    scan_grid: tuple = None,
+    filters=None,  # ProjectionFilters (static NamedTuple)
+    deskew: bool = True,
+):
+    """The WHOLE per-keyframe device path in one dispatch: range-image
+    projection + filtering, INS motion deskew, map build (rebuild keyframes),
+    K-particle SVN flow, and the ring insert. Fusing projection/deskew into
+    the registration step removes two dispatches per keyframe (measured
+    blocked: project 39 ms + deskew 27 ms at Berlin scale vs 61 ms for the
+    whole SVN step — mostly tunnel round-trips and unfused grid passes, see
+    BENCH_NOTES round 4). The scalar vector gains num_points at slot 52
+    ((53,) total)."""
+    from ..lidar.deskew import deskew_points
+    from ..lidar.project import project_frame_packed
+
+    with jax.named_scope("project"):
+        scan = project_frame_packed(packed, dir_lut, off_lut, filters)
+    new_points, new_mask = scan.points, scan.mask
+    if deskew:
+        with jax.named_scope("deskew"):
+            f32 = jnp.float32
+            pose_s = Pose3(
+                flat[17:26].reshape(3, 3).astype(f32), flat[26:29].astype(f32)
+            )
+            pose_e = Pose3(
+                flat[29:38].reshape(3, 3).astype(f32), flat[38:41].astype(f32)
+            )
+            new_points = deskew_points(new_points, scan.alpha, pose_s, pose_e)
+    kf_points, kf_mask, key, scalars, regmap = _lo_svn_core(
+        kf_points, kf_mask, new_points, new_mask, flat, head, key, regmap_in,
+        svn_cfg, capacity, min_points, grid_shape, publish_svn, scan_grid,
+    )
+    scalars = jnp.concatenate(
+        [scalars, scan.num_points.astype(jnp.float32)[None]]
+    )
+    return kf_points, kf_mask, key, scalars, regmap
+
+
 @dataclasses.dataclass
 class LoSvnApp:
     cfg: PipelineConfig
@@ -288,6 +363,8 @@ class LoSvnApp:
             published = Pose3(scalars[0:9].reshape(3, 3), scalars[9:12])
             cov = scalars[12:48].reshape(6, 6)
             iters, converged, _n_voxels, score = scalars[48:52]
+            if num_points is None:  # packed step: num_points rides slot 52
+                num_points = scalars[52]
             if self.viz is not None:
                 self.viz.push(viz_pts, published, synced.scan.frame_id)
             self._record(
@@ -295,16 +372,29 @@ class LoSvnApp:
                 int(iters), bool(converged > 0.5), float(score), dt_ms,
             )
 
+    def _deskew_interval_poses(self, synced):
+        """Host-side INS poses at the sweep's own start/end timestamps (the
+        deskew endpoints, see common.maybe_deskew for why not the sync
+        interval); numpy f64 throughout."""
+        from ..runtime.sync import interpolate_at
+
+        nav_s = interpolate_at(synced.ins, synced.scan.timestamp)
+        nav_e = interpolate_at(synced.ins, synced.scan.timestamp_end)
+        return (
+            ins_pose_ned(nav_s, self._ref_lla),
+            ins_pose_ned(nav_e, self._ref_lla),
+        )
+
     def process(self, synced):
-        with self.timer.span("project"):
-            scan = self.ingest.project(synced)
         nav_end = synced.ins[-1]
         if self._ref_lla is None:
             # first keyframe: fix the geodetic reference + map origin
             self._ref_lla = np.asarray(nav_end.lla)
-        scan = common_deskew(scan, synced, self._ref_lla, self.cfg.deskew)
         ins_pose = ins_pose_ned(nav_end, self._ref_lla)
         if self._kf_points is None:
+            with self.timer.span("project"):
+                scan = self.ingest.project(synced)
+            scan = common_deskew(scan, synced, self._ref_lla, self.cfg.deskew)
             K = self.cfg.register.keyframe_window
             N = scan.points.shape[0]
             self._kf_points = jnp.zeros((K, N, 3), jnp.float32)
@@ -339,6 +429,10 @@ class LoSvnApp:
         # rebuild the registration target every map_rebuild_every keyframes
         # (a recentered origin invalidates the cache unconditionally)
         rebuild = self._cadence.tick(force=shifted)
+        if self.cfg.deskew:
+            pose_s, pose_e = self._deskew_interval_poses(synced)
+        else:
+            pose_s = pose_e = ins_pose
         flat = np.concatenate(
             [
                 np.asarray(ins_pose.rot, np.float64).ravel(),
@@ -346,15 +440,36 @@ class LoSvnApp:
                 np.asarray(self._origin, np.float64),
                 [1.0 if rebuild else 0.0],
                 [1.0 if self.anchor == "ins" else 0.0],
+                np.asarray(pose_s.rot, np.float64).ravel(),
+                np.asarray(pose_s.trans, np.float64),
+                np.asarray(pose_e.rot, np.float64).ravel(),
+                np.asarray(pose_e.trans, np.float64),
             ]
         ).astype(np.float32)
+        viz_pts = None
+        if self.viz is not None:
+            # the hot path never materializes a ScanBuffer; project one on
+            # the side for the viewer (viz runs are not perf runs)
+            scan_v = common_deskew(
+                self.ingest.project(synced), synced, self._ref_lla,
+                self.cfg.deskew,
+            )
+            viz_pts = self.viz.subsample(scan_v)
+        fr = synced.scan
         with self.timer.span("svn_step"):
+            from ..lidar.project import pack_frame
+
+            packed = pack_frame(
+                fr.ranges_m, fr.reflectivity, fr.col_timestamp_s,
+                fr.col_valid, signal=fr.signal, nir=fr.nir,
+            )
             self._kf_points, self._kf_mask, self._key, scalars, self._cadence.regmap = (
-                _lo_svn_step(
+                _lo_svn_step_packed(
                     self._kf_points,
                     self._kf_mask,
-                    scan.points,
-                    scan.mask,
+                    jnp.asarray(packed),
+                    self.ingest._dir,
+                    self.ingest._off,
                     flat,
                     jnp.int32(self._kf_head),
                     self._key,
@@ -365,14 +480,15 @@ class LoSvnApp:
                     grid_shape,
                     self.publish == "svn",
                     self._scan_grid,
+                    self.ingest.filters,
+                    self.cfg.deskew,
                 )
             )
         self._kf_head = (self._kf_head + 1) % int(self.cfg.register.keyframe_window)
         self._n_keyframes += 1
         self._pending.append(
-            (synced, scan.num_points, ins_pose,
-             self.timer.last_ms("svn_step"), scalars,
-             self.viz.subsample(scan) if self.viz is not None else None)
+            (synced, None, ins_pose,
+             self.timer.last_ms("svn_step"), scalars, viz_pts)
         )
         if len(self._pending) >= 64:  # bound the in-flight queue
             self.flush()

@@ -6,6 +6,7 @@ decoded output is checked against an independent scalar oracle.
 """
 import struct
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -409,3 +410,90 @@ class TestDeskew:
         end = se3.retract(start, jnp.asarray(RNG.normal(size=6) * 0.1))
         out = deskew_points(pts, jnp.ones(50), start, end)
         np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-12)
+
+
+class TestPackedKeyframeStep:
+    """The lo_svn single-dispatch keyframe (_lo_svn_step_packed) must equal
+    the composition of its standalone pieces: project_frame_packed ->
+    deskew_points -> anchor transform -> ring insert. Pins that the fused
+    path actually APPLIES the deskew poses carried in flat[17:41] (a wiring
+    bug there is invisible to trajectory-level e2e gates when the polish
+    absorbs the residual)."""
+
+    def _setup(self):
+        from slamtpu.lidar.project import (ProjectionFilters, pack_frame,
+            project_frame_packed)
+
+        cols, sub = 16, 8
+        rng = np.random.default_rng(3)
+        ranges = rng.uniform(1.0, 20.0, (cols, sub)).astype(np.float32)
+        refl = rng.integers(0, 255, (cols, sub)).astype(np.uint8)
+        ts = np.linspace(0.0, 0.1, cols)
+        valid = np.ones(cols, bool)
+        direction = rng.normal(size=(cols, sub, 3)).astype(np.float32)
+        direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+        offset = np.zeros((cols, 3), np.float32)
+        packed = jnp.asarray(pack_frame(ranges, refl, ts, valid))
+        dirs, offs = jnp.asarray(direction), jnp.asarray(offset)
+        filters = ProjectionFilters(range_min=0.5, range_max=100.0)
+        scan = project_frame_packed(packed, dirs, offs, filters)
+        return packed, dirs, offs, filters, scan
+
+    def _run_step(self, packed, dirs, offs, filters, N, flat, deskew):
+        from slamtpu.apps.lo_svn import _lo_svn_step_packed
+        from slamtpu.ndt import SvnConfig
+        from slamtpu.ndt.regmap import empty_regmap
+
+        GRID = (8, 8, 4)
+        cfg = SvnConfig(num_particles=2, max_iterations=1, polish_iters=0)
+        kf_points = jnp.zeros((2, N, 3), jnp.float32)
+        kf_mask = jnp.zeros((2, N), bool)
+        return _lo_svn_step_packed(
+            kf_points, kf_mask, packed, dirs, offs,
+            jnp.asarray(flat, jnp.float32), jnp.int32(1),
+            jax.random.PRNGKey(0), empty_regmap(64, GRID),
+            cfg, 64, 3, GRID, True, None, filters, deskew,
+        )
+
+    def test_equals_standalone_composition(self):
+        from slamtpu.core import se3
+        from slamtpu.lidar.deskew import deskew_points
+
+        packed, dirs, offs, filters, scan = self._setup()
+        N = scan.points.shape[0]
+        pose_s = se3.expmap(jnp.asarray([0.02, -0.01, 0.05, 0.4, 0.2, -0.1]))
+        pose_e = se3.retract(pose_s, jnp.asarray([0.0, 0.0, 0.1, 0.5, 0.0, 0.0]))
+        eye = np.eye(3).ravel()
+        flat = np.concatenate([
+            eye, np.zeros(3),              # prior = identity (and INS anchor)
+            np.full(3, -50.0), [0.0, 1.0],  # origin, rebuild=0, anchor=ins
+            np.asarray(pose_s.rot).ravel(), np.asarray(pose_s.trans),
+            np.asarray(pose_e.rot).ravel(), np.asarray(pose_e.trans),
+        ])
+        kf_points, kf_mask, _key, scalars, _rm = self._run_step(
+            packed, dirs, offs, filters, N, flat, deskew=True
+        )
+        expect = deskew_points(
+            scan.points.astype(jnp.float32),
+            scan.alpha.astype(jnp.float32),
+            se3.cast(pose_s, jnp.float32), se3.cast(pose_e, jnp.float32),
+        )
+        # anchor pose is identity, so the ring slot holds the deskewed body pts
+        np.testing.assert_allclose(
+            np.asarray(kf_points[1]), np.asarray(expect), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(kf_mask[1]), np.asarray(scan.mask)
+        )
+        assert scalars.shape == (53,)
+        assert int(scalars[52]) == int(jnp.sum(scan.mask))
+        # deskew=False must insert the raw projected points instead
+        kf_points0, _m, _k, _s, _r = self._run_step(
+            packed, dirs, offs, filters, N, flat, deskew=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(kf_points0[1]),
+            np.asarray(scan.points, np.float32), atol=1e-6,
+        )
+        diff = np.abs(np.asarray(kf_points[1]) - np.asarray(kf_points0[1]))
+        assert diff.max() > 0.01, "deskew poses had no effect"
