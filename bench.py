@@ -270,12 +270,20 @@ def bench_lo100(n_sweeps: int = 100):
     )
 
 
-def bench_lo_berlin(n_sweeps: int = 30, rebuild_every: int = 6):
+def bench_lo_berlin(
+    n_sweeps: int = 30, rebuild_every: int = 4, exclude_recent: int = 3
+):
     """Config 2 at the REAL Berlin operating point: OS-2-128-shaped sensor
     (2048 x 128, stride 4 -> ~65k pts/scan after decode, 10 Hz), full lo_svn
     replay at 2^17 map capacity. Reports steady-state keyframes/s (>=10 is
     real-time) and ATE; runs the per-keyframe-rebuild parity config and the
-    reduced-cadence config side by side."""
+    reduced-cadence config side by side.
+
+    Operating point (round-4 error budget, BENCH_NOTES): rebuild every 4
+    keyframes with the newest 3 ring clouds excluded from builds — the
+    exclusion removes the measured viewpoint-proximity bias (ATE 0.0107 ->
+    0.0031 m at 48 sweeps) and the tighter cadence keeps the target fresh
+    under exclusion."""
     import tempfile, os
     import importlib
 
@@ -310,6 +318,7 @@ def bench_lo_berlin(n_sweeps: int = 30, rebuild_every: int = 6):
             min_points_per_voxel=4, keyframe_window=5,
             reg_grid_shape=(256, 256, 32),
             map_rebuild_every=rebuild_every,
+            map_exclude_recent=exclude_recent,
         ),
         deskew=True,
     )
@@ -328,8 +337,14 @@ def bench_lo_berlin(n_sweeps: int = 30, rebuild_every: int = 6):
         [se3.between(a0, e.pose) for e in traj],
         [se3.between(g0, g) for g in gt_poses[: len(traj)]],
     )
-    # parity config (rebuild every keyframe) for the honest comparison
-    cfg1 = _dc.replace(cfg, register=_dc.replace(cfg.register, map_rebuild_every=1))
+    # parity config (rebuild every keyframe, full window) for the honest
+    # comparison with the reference semantics
+    cfg1 = _dc.replace(
+        cfg,
+        register=_dc.replace(
+            cfg.register, map_rebuild_every=1, map_exclude_recent=0
+        ),
+    )
     app1 = LoSvnApp(cfg1)
     traj1, dt1, warm1 = _timed_replay(app1, path)
     ate1 = ate_rmse(
@@ -354,12 +369,115 @@ def bench_lo_berlin(n_sweeps: int = 30, rebuild_every: int = 6):
                 "vs_baseline": round((warm_kf_s or len(traj) / dt) / 10.0, 2),
                 "detail": {
                     "rebuild_every": rebuild_every,
+                    "exclude_recent": exclude_recent,
                     "ate_rmse_m": round(ate, 4),
                     "stage_ms": app.timer.summary(),
                     "parity_rebuild1_kf_s": round(warm1 or len(traj1) / dt1, 2),
                     "parity_rebuild1_ate_m": round(ate1, 4),
                     "deskew_off_ate_m": round(ate_nd, 4),
                 },
+            }
+        )
+    )
+
+
+def bench_ate_budget(n_sweeps: int = 48):
+    """Error-budget decomposition of lo_svn's Berlin-scale ATE (the round-4
+    investigation, BENCH_NOTES "ATE error budget"). Each run reports the
+    published-pose error per keyframe in the GT BODY frame
+    (longitudinal / lateral / vertical), separating systematic bias from
+    noise:
+
+      ins    — publish the INS prior: measures prior quality (the sim's nav
+               stream is noiseless, so this pins "anchor-pose error ~= 0"
+               and attributes everything else to registration);
+      parity — reference semantics (rebuild every keyframe, full window):
+               the constant fresh-map viewpoint-proximity bias;
+      op     — the bench operating point (rebuild cadence + exclude-recent):
+               what lo_berlin actually ships.
+    """
+    import tempfile, os
+    import importlib
+    import dataclasses as _dc
+
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    simulator = importlib.import_module("simulator")
+    import jax.numpy as jnp
+
+    from slamtpu.apps import LoSvnApp
+    from slamtpu.core import se3
+    from slamtpu.core.se3 import Pose3
+    from slamtpu.lidar.ouster import LidarParams
+    from slamtpu.runtime.config import PipelineConfig, RegisterConfig
+
+    meta = simulator.small_meta(cols=2048, pix=128, cpp=16)
+
+    def cfg_with(**reg_over):
+        base = dict(
+            svn_resolution=1.0, svn_particles=20, svn_max_iterations=8,
+            svn_kernel_h=5.0, svn_step_size=1.0, map_capacity=1 << 17,
+            min_points_per_voxel=4, keyframe_window=5,
+            reg_grid_shape=(256, 256, 32),
+        )
+        base.update(reg_over)
+        return PipelineConfig(
+            meta=meta,
+            lidar=LidarParams(channel_stride=4, range_filter=(0.5, 150.0)),
+            imu=__import__(
+                "slamtpu.ins.imu_config", fromlist=["ImuConfig"]
+            ).ImuConfig(),
+            register=RegisterConfig(**base),
+            deskew=True,
+        )
+
+    path = os.path.join(tempfile.mkdtemp(), "berlin_budget.rpl")
+    gt = simulator.simulate_replay(
+        path, meta, LidarParams(channel_stride=4, range_filter=(0.5, 150.0)),
+        n_sweeps=n_sweeps, skewed=True,
+    )
+    gt_poses = [Pose3(jnp.asarray(R), jnp.asarray(p)) for R, p in gt[1:]]
+
+    def decompose(traj):
+        import numpy as np
+
+        n = min(len(traj), len(gt_poses))
+        a0, g0 = traj[0].pose, gt_poses[0]
+        errs = []
+        for e, g in zip(traj[:n], gt_poses[:n]):
+            rel_e = se3.between(a0, e.pose)
+            rel_g = se3.between(g0, g)
+            dtw = np.asarray(rel_e.trans, np.float64) - np.asarray(
+                rel_g.trans, np.float64
+            )
+            errs.append(np.asarray(rel_g.rot, np.float64).T @ dtw)
+        errs = np.stack(errs)
+        return {
+            "ate_m": round(float(np.sqrt((errs**2).sum(1).mean())), 5),
+            "bias_body_mm": [round(v, 2) for v in (errs.mean(0) * 1e3)],
+            "std_body_mm": [round(v, 2) for v in (errs.std(0) * 1e3)],
+        }
+
+    out = {}
+    runs = {
+        "ins": (dict(map_rebuild_every=6), "ins"),
+        "parity": (dict(map_rebuild_every=1), "svn"),
+        "op": (
+            dict(map_rebuild_every=4, map_exclude_recent=3), "svn"
+        ),
+    }
+    for name, (reg_over, publish) in runs.items():
+        app = LoSvnApp(cfg_with(**reg_over), publish=publish)
+        traj = app.run_replay(path)
+        out[name] = decompose(traj)
+    print(
+        json.dumps(
+            {
+                "metric": "lo_svn Berlin-scale ATE error budget "
+                f"({n_sweeps} skewed sweeps; body-frame [fwd, left, down])",
+                "value": out["op"]["ate_m"],
+                "unit": "m ATE at the operating point",
+                "vs_baseline": round(out["op"]["ate_m"] / 1e-3, 2),
+                "detail": out,
             }
         )
     )
@@ -1327,6 +1445,8 @@ if __name__ == "__main__":
         bench_batch()
     elif mode == "lo_berlin":
         bench_lo_berlin()
+    elif mode == "ate_budget":
+        bench_ate_budget()
     elif mode == "odom_berlin":
         bench_odom_berlin()
     elif mode == "hard":

@@ -52,6 +52,14 @@ def _lo_svn_core(
     scan_grid: tuple = None,  # (cols, sub) of the projected sweep: enables
     #   the range-image stencil source covariances (ndt.gicp.
     #   stencil_point_covariances, ~15 ms cheaper than the sort-based path)
+    exclude_recent=None,  # () int32: rebuilds skip the newest
+    #   ``exclude_recent`` ring clouds (RegisterConfig.map_exclude_recent).
+    #   Registration against content rendered from viewpoints close to the
+    #   current one carries a measured viewpoint-proximity bias (~10 mm at
+    #   0.3 m separation, decaying below 1 mm past ~1.5 m at Berlin scale —
+    #   BENCH_NOTES round 4); the nearest clouds add no coverage the scan
+    #   lacks, so dropping them removes the bias at zero cost. None keeps
+    #   the full-window reference semantics.
 ):
     """One fused SVN keyframe: map build over the keyframe window, K-particle
     SVN flow, ring-buffer insert of the new cloud at the anchor pose, and
@@ -71,10 +79,15 @@ def _lo_svn_core(
     rebuild = flat[15] > 0.5
     key, sub = jax.random.split(key)
     K, N, _ = kf_points.shape
+    bmask = kf_mask
+    if exclude_recent is not None:
+        # ring age of slot s: 0 = newest (slot head - 1), K-1 = oldest
+        ages = jnp.mod(head - 1 - jnp.arange(K), K)
+        bmask = kf_mask & (ages >= exclude_recent)[:, None]
     if grid_shape is None:
         gmap = gaussian_map.build_map(
             kf_points.reshape(K * N, 3),
-            kf_mask.reshape(K * N),
+            bmask.reshape(K * N),
             origin,
             svn_cfg.resolution,
             capacity=capacity,
@@ -107,7 +120,7 @@ def _lo_svn_core(
             with jax.named_scope("map_rebuild"):
                 gmap = gaussian_map.build_map(
                     kf_points.reshape(K * N, 3),
-                    kf_mask.reshape(K * N),
+                    bmask.reshape(K * N),
                     origin,
                     svn_cfg.resolution,
                     capacity=capacity,
@@ -183,12 +196,13 @@ def _lo_svn_step(
     kf_points, kf_mask, new_points, new_mask, flat, head, key, regmap_in,
     svn_cfg: SvnConfig, capacity: int, min_points: int,
     grid_shape: tuple = None, publish_svn: bool = True,
-    scan_grid: tuple = None,
+    scan_grid: tuple = None, exclude_recent=None,
 ):
     """Fused keyframe on an already-projected scan (see _lo_svn_core)."""
     return _lo_svn_core(
         kf_points, kf_mask, new_points, new_mask, flat, head, key, regmap_in,
         svn_cfg, capacity, min_points, grid_shape, publish_svn, scan_grid,
+        exclude_recent,
     )
 
 
@@ -219,6 +233,7 @@ def _lo_svn_step_packed(
     scan_grid: tuple = None,
     filters=None,  # ProjectionFilters (static NamedTuple)
     deskew: bool = True,
+    exclude_recent=None,  # see _lo_svn_core
 ):
     """The WHOLE per-keyframe device path in one dispatch: range-image
     projection + filtering, INS motion deskew, map build (rebuild keyframes),
@@ -247,6 +262,7 @@ def _lo_svn_step_packed(
     kf_points, kf_mask, key, scalars, regmap = _lo_svn_core(
         kf_points, kf_mask, new_points, new_mask, flat, head, key, regmap_in,
         svn_cfg, capacity, min_points, grid_shape, publish_svn, scan_grid,
+        exclude_recent,
     )
     scalars = jnp.concatenate(
         [scalars, scan.num_points.astype(jnp.float32)[None]]
@@ -372,6 +388,16 @@ class LoSvnApp:
                 int(iters), bool(converged > 0.5), float(score), dt_ms,
             )
 
+    def _exclude_recent(self):
+        """Per-keyframe exclusion count for map rebuilds (None disables —
+        identical trace to the full-window semantics). Clamped so the build
+        always keeps at least one ring cloud during the fill-up phase."""
+        e = int(self.cfg.register.map_exclude_recent)
+        if e <= 0:
+            return None
+        filled = min(self._n_keyframes, int(self.cfg.register.keyframe_window))
+        return jnp.int32(min(e, max(filled - 1, 0)))
+
     def _deskew_interval_poses(self, synced):
         """Host-side INS poses at the sweep's own start/end timestamps (the
         deskew endpoints, see common.maybe_deskew for why not the sync
@@ -482,6 +508,7 @@ class LoSvnApp:
                     self._scan_grid,
                     self.ingest.filters,
                     self.cfg.deskew,
+                    self._exclude_recent(),
                 )
             )
         self._kf_head = (self._kf_head + 1) % int(self.cfg.register.keyframe_window)

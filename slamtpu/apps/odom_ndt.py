@@ -52,7 +52,7 @@ def _use_fused(new_points):
     jax.jit,
     static_argnames=(
         "cfg", "capacity", "min_points", "grid_shape", "method", "svn_cfg",
-        "inner_iters",
+        "inner_iters", "scan_grid",
     ),
 )
 def _register_step(
@@ -73,6 +73,9 @@ def _register_step(
     regmap_cache=None,  # RegMap: enables reduced-cadence rebuild (NDT_OMP only)
     rebuild=None,  # () bool: rebuild the map this call (with regmap_cache)
     inner_iters: int = 2,  # fused-kernel Newton steps per gather
+    scan_grid: tuple = None,  # (cols, sub) range-image layout of new_points:
+    #   enables the stencil source covariances for the GICP-aniso engine
+    #   (ndt.gicp.stencil_point_covariances — <1 ms vs the ~15 ms sort path)
 ):
     """Build the target map and register by the configured engine — the
     analog of the reference's registration_method switch
@@ -116,11 +119,18 @@ def _register_step(
             regmap = build_regmap(
                 gicp_map_aniso(gmap), grid_shape=grid_shape or (256, 256, 64)
             )
-            src_cov = source_point_covariances(
-                new_points, new_mask, cfg.resolution,
-                capacity=min(capacity, 1 << 14),
-                min_points_per_voxel=min_points,
-            )
+            if scan_grid is not None:
+                from ..ndt.gicp import stencil_point_covariances
+
+                src_cov = stencil_point_covariances(
+                    new_points, new_mask, scan_grid
+                )
+            else:
+                src_cov = source_point_covariances(
+                    new_points, new_mask, cfg.resolution,
+                    capacity=min(capacity, 1 << 14),
+                    min_points_per_voxel=min_points,
+                )
             return gicp_align_aniso(
                 new_points, new_mask, src_cov, regmap, init_guess, cfg,
                 grid_shape or (256, 256, 64),
@@ -201,6 +211,7 @@ def _register_step(
     static_argnames=(
         "cfg", "capacity", "min_points", "grid_shape", "max_td", "max_rd",
         "method", "svn_cfg", "inner_iters", "window", "smoother_iters",
+        "scan_grid",
     ),
     donate_argnums=(0,),
 )
@@ -222,6 +233,7 @@ def _odom_fused_step(
     inner_iters: int = 2,
     window: int = 6,
     smoother_iters: int = 4,
+    scan_grid: tuple = None,  # see _register_step
 ):
     """One COMPLETE odometry keyframe in a single device dispatch
     (pipeline.cpp:432-824): transform the previous keyframe cloud to its
@@ -261,6 +273,7 @@ def _odom_fused_step(
         target, carry["prev_mask"], new_points, new_mask, guess, origin,
         cfg, capacity, min_points, grid_shape,
         method=method, svn_cfg=svn_cfg, key=key, inner_iters=inner_iters,
+        scan_grid=scan_grid,
     )
     blended32, w = robust.deviation_gated_blend(guess, res.pose, max_td, max_rd)
     blended = Pose3(blended32.rot.astype(cd), blended32.trans.astype(cd))
@@ -372,6 +385,15 @@ class OdomNdtApp:
             else 0.0,
             gicp_max_corr_dist=reg.gicp_corr_dist_threshold,
             gicp_aniso=reg.gicp_source_cov == "anisotropic",
+        )
+        # range-image layout of the projected sweep: the GICP-aniso engine's
+        # source covariances come from the grid stencil instead of the
+        # ~15 ms sort-based voxel pass (same knob as lo_svn's polish,
+        # RegisterConfig.svn_src_cov)
+        self._scan_grid = (
+            (self.cfg.meta.columns_per_frame, self.ingest.luts.subset_channels)
+            if self.newton_cfg.gicp_aniso and reg.svn_src_cov == "stencil"
+            else None
         )
         self.svn_cfg = None
         self._key = None
@@ -519,6 +541,7 @@ class OdomNdtApp:
                 inner_iters=self.cfg.register.fused_inner_iters,
                 window=self.window,
                 smoother_iters=self.smoother_iters,
+                scan_grid=self._scan_grid,
             )
         self._n_keyframes += 1
         # the scan buffers enter the donated carry as prev_points/prev_mask

@@ -54,6 +54,7 @@ _EXTENSION_KEYS = {
     "use_regmap",
     "reg_grid_shape",
     "map_rebuild_every",
+    "map_exclude_recent",
     "fused_inner_iters",
     "gicp_source_cov",
     "svn_polish_iters",
@@ -113,7 +114,8 @@ class RegisterConfig:
     # operation). See ndt.svn.SvnConfig.polish_from.
     svn_polish_from: str = "prior"
     # extension: source-covariance construction for the plane-to-plane
-    # polish/engine. "stencil" computes each point's plane-regularized
+    # polish (lo_svn) AND the GICP-aniso engine (odom_ndt).
+    # "stencil" computes each point's plane-regularized
     # covariance from its RANGE-IMAGE neighborhood (pure shifts + FMA,
     # <1 ms; ndt.gicp.stencil_point_covariances); "voxel" is the sort-based
     # voxelized analog of gicp_omp's kNN covariances (~15 ms per Berlin
@@ -141,6 +143,15 @@ class RegisterConfig:
     # per-keyframe setInputTarget; higher trades <=N-1 keyframes of target
     # staleness for amortizing the ~66 ms Berlin-scale map+RegMap build)
     map_rebuild_every: int = 1
+    # extension (lo_svn): map rebuilds skip the newest N keyframe clouds in
+    # the ring. Registering against content rendered from viewpoints close
+    # to the current one carries a measured viewpoint-proximity bias
+    # (~10 mm published-pose error at 0.3 m separation, decaying below 1 mm
+    # past ~1.5 m at Berlin scale — BENCH_NOTES round-4 error budget); the
+    # nearest clouds add no coverage the current scan lacks, so excluding
+    # them removes the bias at zero cost. 0 = reference full-window
+    # semantics.
+    map_exclude_recent: int = 0
     # Newton steps per mega-row gather in the fused kernel (a staleness
     # budget also re-gathers after an eighth-voxel of motion). 1 = exact
     # DIRECT7 per step; 2 halves the gather cost at negligible accuracy
@@ -232,6 +243,9 @@ class RegisterConfig:
             reg_grid_shape=tuple(p.get("reg_grid_shape", defaults.reg_grid_shape)),
             map_rebuild_every=int(
                 p.get("map_rebuild_every", defaults.map_rebuild_every)
+            ),
+            map_exclude_recent=int(
+                p.get("map_exclude_recent", defaults.map_exclude_recent)
             ),
             fused_inner_iters=int(
                 p.get("fused_inner_iters", defaults.fused_inner_iters)

@@ -497,3 +497,110 @@ class TestPackedKeyframeStep:
         )
         diff = np.abs(np.asarray(kf_points[1]) - np.asarray(kf_points0[1]))
         assert diff.max() > 0.01, "deskew poses had no effect"
+
+
+class TestSimulatorEncoder:
+    """The simulator's vectorized RNG19 encoder must stay byte-identical to
+    the per-point struct.pack reference loop (the original golden encoder,
+    layout per /root/reference/src/lidarcallback.cpp:632-891). The loop cost
+    ~35 s of pure Python packing per Berlin-scale sweep; the numpy path is
+    ~21x faster per packet."""
+
+    def test_byte_identical_to_reference_loop(self):
+        import struct
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent))
+        import simulator
+        from simulator import packet_size
+
+        def encode_loop(meta, frame_id, m_ids, ts_ns, ranges_mm, refl):
+            pix = meta.pixels_per_column
+            out = bytearray()
+            out += struct.pack("<HH", 0x0001, frame_id & 0xFFFF) + bytes(28)
+            for c, m_id in enumerate(m_ids):
+                out += struct.pack("<QHBx", int(ts_ns[c]), int(m_id), 1)
+                r = ranges_mm[c].astype(np.uint32) & 0x7FFFF
+                for ch in range(pix):
+                    v = int(r[ch])
+                    out += struct.pack(
+                        "<BBBxBxHHH", v & 0xFF, (v >> 8) & 0xFF,
+                        (v >> 16) & 0xFF, int(refl[c][ch]), 0, 0, 0,
+                    )
+            out += bytes(32)
+            assert len(out) == packet_size(meta)
+            return bytes(out)
+
+        meta = simulator.small_meta(cols=64, pix=32, cpp=16)
+        rng = np.random.default_rng(3)
+        m_ids = list(range(16, 32))
+        ts = rng.integers(0, 2**62, 16).astype(np.uint64)
+        ranges = rng.integers(0, 2**20, (16, 32)).astype(np.uint32)
+        refl = rng.integers(0, 255, (16, 32)).astype(np.uint8)
+        assert simulator.encode_rng19_packet(
+            meta, 7, m_ids, ts, ranges, refl
+        ) == encode_loop(meta, 7, m_ids, ts, ranges, refl)
+
+
+class TestMapExcludeRecent:
+    """RegisterConfig.map_exclude_recent: rebuilds skip the newest ring
+    clouds (viewpoint-proximity bias, BENCH_NOTES round-4 error budget).
+    Pins the ring-age arithmetic: age 0 = slot (head - 1) mod K."""
+
+    def _n_voxels(self, head, exclude):
+        from slamtpu.apps.lo_svn import _lo_svn_step
+        from slamtpu.ndt import SvnConfig
+
+        K, N = 3, 8
+        # each ring slot holds one spread cluster in its own 1 m voxel
+        rng = np.random.default_rng(7)
+        jitter = rng.uniform(-0.3, 0.3, (K, N, 3)).astype(np.float32)
+        centers = (10.0 * np.arange(K) + 0.5)[:, None, None].astype(np.float32)
+        kf_points = jnp.asarray(centers + jitter)
+        kf_mask = jnp.ones((K, N), bool)
+        new_points = jnp.full((N, 3), 40.5, jnp.float32)
+        new_mask = jnp.ones((N,), bool)
+        flat = np.zeros(17, np.float32)
+        flat[0] = flat[4] = flat[8] = 1.0  # identity prior
+        flat[15] = 1.0  # rebuild
+        cfg = SvnConfig(num_particles=2, max_iterations=1, polish_iters=0)
+        _p, _m, _k, scalars, _r = _lo_svn_step(
+            kf_points, kf_mask, new_points, new_mask,
+            jnp.asarray(flat), jnp.int32(head), jax.random.PRNGKey(0), None,
+            cfg, 64, 2, None, True, None,
+            None if exclude is None else jnp.int32(exclude),
+        )
+        return int(scalars[50])
+
+    def test_excludes_newest_ring_clouds(self):
+        assert self._n_voxels(head=0, exclude=None) == 3
+        assert self._n_voxels(head=0, exclude=0) == 3
+        # head=0 -> newest is slot 2, then slot 1
+        assert self._n_voxels(head=0, exclude=1) == 2
+        assert self._n_voxels(head=0, exclude=2) == 1
+        # head=1 -> newest is slot 0
+        assert self._n_voxels(head=1, exclude=1) == 2
+
+    def test_app_clamps_during_fill_up(self):
+        from slamtpu.apps import LoSvnApp
+        from slamtpu.ins.imu_config import ImuConfig
+        from slamtpu.lidar.ouster import LidarParams, synthetic_os2_metadata
+        from slamtpu.runtime.config import PipelineConfig, RegisterConfig
+
+        cfg = PipelineConfig(
+            meta=synthetic_os2_metadata(
+                columns_per_frame=32, pixels_per_column=8,
+                columns_per_packet=16,
+            ),
+            lidar=LidarParams(),
+            imu=ImuConfig(),
+            register=RegisterConfig(map_exclude_recent=2, keyframe_window=4),
+        )
+        app = LoSvnApp(cfg)
+        app._n_keyframes = 1  # only the bootstrap cloud in the ring
+        assert int(app._exclude_recent()) == 0
+        app._n_keyframes = 2
+        assert int(app._exclude_recent()) == 1
+        app._n_keyframes = 9  # ring full (window 4)
+        assert int(app._exclude_recent()) == 2
