@@ -162,21 +162,33 @@ class PlaneWorld:
 # ---------------------------------------------------------------------------
 
 def encode_rng19_packet(meta, frame_id, m_ids, ts_ns, ranges_mm, refl):
+    """Vectorized golden encoder (byte-identical to the original per-point
+    struct.pack loop — pinned by TestSimulatorEncoder): the Python loop cost
+    ~0.27 ms/column, i.e. ~35 s per Berlin-scale sweep of pure packing."""
     pix = meta.pixels_per_column
-    out = bytearray()
-    out += struct.pack("<HH", 0x0001, frame_id & 0xFFFF) + bytes(28)
-    for c, m_id in enumerate(m_ids):
-        out += struct.pack("<QHBx", int(ts_ns[c]), int(m_id), 1)
-        r = ranges_mm[c].astype(np.uint32) & 0x7FFFF
-        for ch in range(pix):
-            v = int(r[ch])
-            out += struct.pack(
-                "<BBBxBxHHH", v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
-                int(refl[c][ch]), 0, 0, 0,
-            )
-    out += bytes(32)
+    ncols = len(m_ids)
+    # one column block = 12-byte header ("<QHBx") + pix * 12-byte channels
+    block = np.zeros((ncols, 12 + pix * 12), np.uint8)
+    hdr = block[:, :12]
+    hdr[:, 0:8] = np.asarray(ts_ns, np.uint64)[:, None].view(np.uint8).reshape(
+        ncols, 8
+    )
+    m = np.asarray(m_ids, np.uint16)
+    hdr[:, 8] = (m & 0xFF).astype(np.uint8)
+    hdr[:, 9] = (m >> 8).astype(np.uint8)
+    hdr[:, 10] = 1  # column status
+    ch = block[:, 12:].reshape(ncols, pix, 12)
+    r = np.asarray(ranges_mm, np.uint32)[:ncols] & 0x7FFFF
+    ch[..., 0] = (r & 0xFF).astype(np.uint8)
+    ch[..., 1] = ((r >> 8) & 0xFF).astype(np.uint8)
+    ch[..., 2] = ((r >> 16) & 0xFF).astype(np.uint8)
+    ch[..., 4] = np.asarray(refl, np.uint8)[:ncols]
+    out = (
+        struct.pack("<HH", 0x0001, frame_id & 0xFFFF) + bytes(28)
+        + block.tobytes() + bytes(32)
+    )
     assert len(out) == packet_size(meta)
-    return bytes(out)
+    return out
 
 
 def encode_anpp20(t, lla, vel_ned, rpy, accel=np.zeros(3), gyro=np.zeros(3),
