@@ -219,18 +219,42 @@ class VizHook:
         self.stride = max(int(stride), 1)
 
     def subsample(self, scan) -> np.ndarray:
-        """Host (M, 3) body-frame points of a projected ScanBuffer."""
+        """Host (M, 3) body-frame points of a projected ScanBuffer.
+
+        When the buffer carries reflectivity, the result is an (M, 4) array
+        whose last column is the intensity channel — the viewer colors by it
+        (reference parity: pipeline.cpp:919 colors clouds by intensity)."""
         pts = np.asarray(scan.points[:: self.stride])
         msk = np.asarray(scan.mask[:: self.stride])
+        refl = getattr(scan, "reflectivity", None)
+        if refl is not None:
+            inten = np.asarray(refl[:: self.stride], np.float32)[msk]
+            return np.concatenate([pts[msk], inten[:, None]], axis=1)
         return pts[msk]
 
-    def push(self, body_pts: Optional[np.ndarray], pose, frame_id: int) -> None:
+    def push(
+        self, body_pts: Optional[np.ndarray], pose, frame_id: int,
+        ins_pose=None,
+    ) -> None:
+        """Pose a subsampled cloud into the world and feed the viewer; when
+        the caller supplies the raw INS pose too, both trajectories render
+        (optimized red vs INS green — the reference's live drift diagnostic,
+        pipeline.cpp:862-864)."""
         if body_pts is None:
             return
+        body_pts = np.asarray(body_pts)
+        inten = None
+        if body_pts.ndim == 2 and body_pts.shape[1] == 4:
+            body_pts, inten = body_pts[:, :3], body_pts[:, 3]
         R = np.asarray(pose.rot, np.float64)
         t = np.asarray(pose.trans, np.float64)
-        self.viewer.push_cloud(body_pts @ R.T + t, frame_id)
-        self.viewer.push_pose(t)
+        self.viewer.push_cloud(body_pts @ R.T + t, frame_id, intensity=inten)
+        self.viewer.push_pose(
+            t,
+            ins_xyz=np.asarray(ins_pose.trans, np.float64)
+            if ins_pose is not None
+            else None,
+        )
 
 
 @dataclasses.dataclass

@@ -289,7 +289,7 @@ class LigoTcApp:
             self._win = [first]
             if self.viz is not None:
                 self.viz.push(self.viz.subsample(scan), ins_pose,
-                              synced.scan.frame_id)
+                              synced.scan.frame_id, ins_pose=ins_pose)
             self.trajectory.append(
                 TrajectoryEntry(synced.t_end, synced.scan.frame_id, ins_pose, ins_pose)
             )
@@ -382,7 +382,7 @@ class LigoTcApp:
         if self.viz is not None:
             self.viz.push(self.viz.subsample(scan),
                           Pose3(pose_opt[0], pose_opt[1]),
-                          synced.scan.frame_id)
+                          synced.scan.frame_id, ins_pose=ins_pose)
         self.trajectory.append(
             TrajectoryEntry(
                 synced.t_end, synced.scan.frame_id,

@@ -382,7 +382,9 @@ class LoSvnApp:
             if num_points is None:  # packed step: num_points rides slot 52
                 num_points = scalars[52]
             if self.viz is not None:
-                self.viz.push(viz_pts, published, synced.scan.frame_id)
+                self.viz.push(
+                    viz_pts, published, synced.scan.frame_id, ins_pose=ins_pose
+                )
             self._record(
                 synced, int(num_points), published, ins_pose, cov,
                 int(iters), bool(converged > 0.5), float(score), dt_ms,
@@ -438,7 +440,8 @@ class LoSvnApp:
             self._n_keyframes += 1
             if self.viz is not None:
                 self.viz.push(
-                    self.viz.subsample(scan), ins_pose, synced.scan.frame_id
+                    self.viz.subsample(scan), ins_pose, synced.scan.frame_id,
+                    ins_pose=ins_pose,
                 )
             self._record(
                 synced, int(scan.num_points), ins_pose, ins_pose, None, 0,

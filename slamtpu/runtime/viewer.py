@@ -19,8 +19,15 @@ Usage (apps wire this behind ``--viz``):
 Transport: the browser polls ``/data?seq=N``; the server answers 304-style
 (empty, same seq) when nothing changed, else one little-endian binary blob:
 
-    uint32 seq | uint32 n_traj | uint32 n_pts | f32 traj[n_traj*3]
+    uint32 seq | uint32 n_traj | uint32 n_ins | uint32 n_pts
+    | f32 traj[n_traj*3] | f32 ins[n_ins*3]
     | f32 pts[n_pts*4]                      (x, y, z, intensity)
+
+Two trajectories ride the blob because the reference's live drift
+diagnostic is the optimized-vs-raw-INS overlay (red vs green polylines,
+run/pipeline.cpp:862-864); points carry the intensity channel and the
+client colors by it when present (pipeline.cpp:919), falling back to
+height coloring for intensity-less clouds.
 
 Everything is float32 NED; the client flips to screen coordinates.
 """
@@ -51,7 +58,8 @@ shift-drag: pan &mdash; <span id="st">connecting&hellip;</span></div>
 "use strict";
 const cv = document.getElementById("cv"), st = document.getElementById("st");
 const ctx = cv.getContext("2d");
-let pts = new Float32Array(0), traj = new Float32Array(0), seq = 0;
+let pts = new Float32Array(0), traj = new Float32Array(0),
+    ins = new Float32Array(0), seq = 0;
 let yaw = -0.7, pitch = 0.9, dist = 80, cx = 0, cy = 0, cz = 0;
 let drag = null;
 cv.addEventListener("mousedown", e => {
@@ -86,49 +94,67 @@ function draw() {
     out[2] = depth; return true;
   }
   const o = [0, 0, 0];
+  // reference parity: color by intensity when the clouds carry one
+  // (pipeline.cpp:919's intensity handler); height ramp otherwise
+  let hasInt = false;
+  for (let i = 3; i < pts.length; i += 4)
+    if (pts[i] > 0) { hasInt = true; break; }
   for (let i = 0; i < pts.length; i += 4) {
     if (!proj(pts[i], pts[i + 1], pts[i + 2], o)) continue;
     const px = o[0] | 0, py = o[1] | 0;
     if (px < 0 || px >= W || py < 0 || py >= H) continue;
-    // color by height (-z in NED): blue floor -> warm high, dimmed by depth
-    const h = Math.min(1, Math.max(0, (-pts[i + 2] - cz0) * 0.12 + 0.35));
     const dim = Math.min(1, 30 / o[2] + 0.55);
     const k = (py * W + px) * 4;
-    d[k] = 40 + 215 * h * dim; d[k + 1] = (90 + 120 * (1 - Math.abs(h - .5) * 2)) * dim;
-    d[k + 2] = 70 + 185 * (1 - h) * dim; d[k + 3] = 255;
+    if (hasInt) {
+      // intensity ramp: dark steel -> bright warm (reflectivity 0..255)
+      const t = Math.min(1, pts[i + 3] / 255);
+      d[k] = (50 + 205 * t) * dim; d[k + 1] = (60 + 170 * t) * dim;
+      d[k + 2] = (80 + 95 * t) * dim; d[k + 3] = 255;
+    } else {
+      // color by height (-z in NED): blue floor -> warm high
+      const h = Math.min(1, Math.max(0, (-pts[i + 2] - cz0) * 0.12 + 0.35));
+      d[k] = 40 + 215 * h * dim; d[k + 1] = (90 + 120 * (1 - Math.abs(h - .5) * 2)) * dim;
+      d[k + 2] = 70 + 185 * (1 - h) * dim; d[k + 3] = 255;
+    }
   }
   ctx.putImageData(img, 0, 0);
-  if (traj.length >= 6) {
-    ctx.strokeStyle = "#ffd36b"; ctx.lineWidth = 1.6; ctx.beginPath();
+  // dual trajectory overlay, reference colors (pipeline.cpp:862-864):
+  // optimized = red, raw INS = green — the live drift diagnostic
+  function polyline(arr, color) {
+    if (arr.length < 6) return;
+    ctx.strokeStyle = color; ctx.lineWidth = 1.6; ctx.beginPath();
     let first = true;
-    for (let i = 0; i < traj.length; i += 3) {
-      if (!proj(traj[i], traj[i + 1], traj[i + 2], o)) continue;
+    for (let i = 0; i < arr.length; i += 3) {
+      if (!proj(arr[i], arr[i + 1], arr[i + 2], o)) continue;
       if (first) {ctx.moveTo(o[0], o[1]); first = false;} else ctx.lineTo(o[0], o[1]);
     }
     ctx.stroke();
-    if (proj(traj[traj.length - 3], traj[traj.length - 2], traj[traj.length - 1], o)) {
-      ctx.fillStyle = "#ffd36b"; ctx.beginPath();
+    if (proj(arr[arr.length - 3], arr[arr.length - 2], arr[arr.length - 1], o)) {
+      ctx.fillStyle = color; ctx.beginPath();
       ctx.arc(o[0], o[1], 4, 0, 6.284); ctx.fill();
     }
   }
+  polyline(ins, "#58d68d");
+  polyline(traj, "#ff5b5b");
 }
 let cz0 = 0;
 async function poll() {
   try {
     const r = await fetch("/data?seq=" + seq);
     const buf = await r.arrayBuffer();
-    if (buf.byteLength >= 12) {
-      const hd = new Uint32Array(buf, 0, 3);
+    if (buf.byteLength >= 16) {
+      const hd = new Uint32Array(buf, 0, 4);
       if (hd[0] !== seq) {
         seq = hd[0];
-        traj = new Float32Array(buf, 12, hd[1] * 3);
-        pts = new Float32Array(buf, 12 + hd[1] * 12, hd[2] * 4);
+        traj = new Float32Array(buf, 16, hd[1] * 3);
+        ins = new Float32Array(buf, 16 + hd[1] * 12, hd[2] * 3);
+        pts = new Float32Array(buf, 16 + (hd[1] + hd[2]) * 12, hd[3] * 4);
         if (traj.length >= 3) {
           cx = traj[traj.length - 3]; cy = traj[traj.length - 2];
           cz = traj[traj.length - 1]; cz0 = cz;
         }
-        st.textContent = "seq " + seq + " | " + hd[2] + " pts | " +
-          hd[1] + " poses";
+        st.textContent = "seq " + seq + " | " + hd[3] + " pts | " +
+          hd[1] + " poses (red=optimized, green=INS)";
         draw();
       }
     }
@@ -160,6 +186,7 @@ class LiveViewer:
         self._lock = threading.Lock()
         self._clouds: Deque[Tuple[int, np.ndarray]] = deque(maxlen=max_clouds)
         self._traj: List[np.ndarray] = []
+        self._ins: List[np.ndarray] = []  # raw INS overlay (pipeline.cpp:862-864)
         self._seq = 0
         self._blob: Optional[bytes] = None
 
@@ -209,8 +236,14 @@ class LiveViewer:
         frame_id: int = 0,
         intensity: Optional[np.ndarray] = None,
     ) -> None:
-        """Add a world-frame cloud (M, 3) to the sliding window."""
-        pts = np.asarray(points, np.float32).reshape(-1, 3)
+        """Add a world-frame cloud to the sliding window: (M, 3) xyz, or
+        (M, 4) with the intensity channel packed as the last column."""
+        pts = np.asarray(points, np.float32)
+        if pts.ndim == 2 and pts.shape[1] == 4:
+            if intensity is None:
+                intensity = pts[:, 3]
+            pts = pts[:, :3]
+        pts = pts.reshape(-1, 3)
         if pts.shape[0] > self.max_points:
             stride = -(-pts.shape[0] // self.max_points)  # ceil div
             pts = pts[::stride]
@@ -227,10 +260,15 @@ class LiveViewer:
             self._seq += 1
             self._blob = None
 
-    def push_pose(self, xyz) -> None:
-        """Append a trajectory vertex (world xyz)."""
+    def push_pose(self, xyz, ins_xyz=None) -> None:
+        """Append a trajectory vertex (world xyz); optionally the raw INS
+        position at the same keyframe for the drift-diagnostic overlay (the
+        reference draws both, optimized red vs INS green,
+        run/pipeline.cpp:862-864)."""
         with self._lock:
             self._traj.append(np.asarray(xyz, np.float32).reshape(3))
+            if ins_xyz is not None:
+                self._ins.append(np.asarray(ins_xyz, np.float32).reshape(3))
             self._seq += 1
             self._blob = None
 
@@ -242,11 +280,16 @@ class LiveViewer:
     def _snapshot(self, client_seq: int) -> bytes:
         with self._lock:
             if client_seq == self._seq:
-                return struct.pack("<III", self._seq, 0, 0)
+                return struct.pack("<IIII", self._seq, 0, 0, 0)
             if self._blob is None:
                 traj = (
                     np.stack(self._traj)
                     if self._traj
+                    else np.zeros((0, 3), np.float32)
+                )
+                ins = (
+                    np.stack(self._ins)
+                    if self._ins
                     else np.zeros((0, 3), np.float32)
                 )
                 pts = (
@@ -255,8 +298,12 @@ class LiveViewer:
                     else np.zeros((0, 4), np.float32)
                 )
                 self._blob = (
-                    struct.pack("<III", self._seq, traj.shape[0], pts.shape[0])
+                    struct.pack(
+                        "<IIII", self._seq, traj.shape[0], ins.shape[0],
+                        pts.shape[0],
+                    )
                     + traj.astype("<f4").tobytes()
+                    + ins.astype("<f4").tobytes()
                     + pts.astype("<f4").tobytes()
                 )
             return self._blob

@@ -27,10 +27,13 @@ def _fetch(viewer, path):
 
 
 def _parse(blob):
-    seq, n_traj, n_pts = struct.unpack_from("<III", blob, 0)
-    traj = np.frombuffer(blob, "<f4", n_traj * 3, 12).reshape(-1, 3)
-    pts = np.frombuffer(blob, "<f4", n_pts * 4, 12 + n_traj * 12).reshape(-1, 4)
-    return seq, traj, pts
+    seq, n_traj, n_ins, n_pts = struct.unpack_from("<IIII", blob, 0)
+    traj = np.frombuffer(blob, "<f4", n_traj * 3, 16).reshape(-1, 3)
+    ins = np.frombuffer(blob, "<f4", n_ins * 3, 16 + n_traj * 12).reshape(-1, 3)
+    pts = np.frombuffer(
+        blob, "<f4", n_pts * 4, 16 + (n_traj + n_ins) * 12
+    ).reshape(-1, 4)
+    return seq, traj, ins, pts
 
 
 def test_index_page_served(viewer):
@@ -46,15 +49,42 @@ def test_snapshot_roundtrip(viewer):
     viewer.push_cloud(cloud, frame_id=7)
     viewer.push_pose([1.0, 2.0, 3.0])
 
-    seq, traj, pts = _parse(_fetch(viewer, "/data?seq=-1"))
+    seq, traj, ins, pts = _parse(_fetch(viewer, "/data?seq=-1"))
     assert seq == 2  # two pushes
     np.testing.assert_allclose(traj, [[1, 2, 3]])
+    assert ins.shape == (0, 3)  # no INS overlay pushed
     np.testing.assert_allclose(pts[:, :3], cloud, rtol=1e-6)
 
-    # same-seq poll answers the 12-byte "no change" header
+    # same-seq poll answers the 16-byte "no change" header
     blob = _fetch(viewer, f"/data?seq={seq}")
-    assert len(blob) == 12
-    assert struct.unpack_from("<III", blob)[0] == seq
+    assert len(blob) == 16
+    assert struct.unpack_from("<IIII", blob)[0] == seq
+
+
+def test_dual_trajectory_overlay(viewer):
+    """Reference parity: the viewer carries BOTH the optimized trajectory and
+    the raw INS one (red vs green overlay, run/pipeline.cpp:862-864)."""
+    viewer.push_pose([1.0, 0.0, 0.0], ins_xyz=[1.1, 0.05, 0.0])
+    viewer.push_pose([2.0, 0.0, 0.0], ins_xyz=[2.2, 0.10, 0.0])
+    _, traj, ins, _ = _parse(_fetch(viewer, "/data?seq=-1"))
+    np.testing.assert_allclose(traj, [[1, 0, 0], [2, 0, 0]])
+    np.testing.assert_allclose(ins, [[1.1, 0.05, 0], [2.2, 0.1, 0]], rtol=1e-6)
+    # the client renders both polylines in the reference's colors
+    page = _fetch(viewer, "/")
+    assert b"#ff5b5b" in page and b"#58d68d" in page
+
+
+def test_intensity_channel_transported(viewer):
+    """pipeline.cpp:919 colors clouds by intensity; the channel must survive
+    the packed (M, 4) path and the wire format."""
+    pts4 = np.concatenate(
+        [np.zeros((5, 3), np.float32),
+         np.arange(5, dtype=np.float32)[:, None] * 50],
+        axis=1,
+    )
+    viewer.push_cloud(pts4)
+    _, _, _, pts = _parse(_fetch(viewer, "/data?seq=-1"))
+    np.testing.assert_allclose(pts[:, 3], [0, 50, 100, 150, 200])
 
 
 def test_window_eviction():
@@ -62,7 +92,7 @@ def test_window_eviction():
     try:
         for i in range(5):
             v.push_cloud(np.full((4, 3), float(i), np.float32), frame_id=i)
-        _, _, pts = _parse(_fetch(v, "/data?seq=-1"))
+        _, _, _, pts = _parse(_fetch(v, "/data?seq=-1"))
         # window keeps the last 3 clouds only (reference pipeline.cpp:894-901)
         assert pts.shape[0] == 12
         assert pts[:, 0].min() == 2.0
@@ -74,7 +104,7 @@ def test_per_cloud_point_cap():
     v = LiveViewer(port=0, max_points_per_cloud=16)
     try:
         v.push_cloud(np.zeros((1000, 3), np.float32))
-        _, _, pts = _parse(_fetch(v, "/data?seq=-1"))
+        _, _, _, pts = _parse(_fetch(v, "/data?seq=-1"))
         assert pts.shape[0] <= 16
     finally:
         v.close()
@@ -90,7 +120,7 @@ def test_vizhook_world_transform(viewer):
     pose = Pose3(R, np.array([10.0, 0.0, -1.0]))
     hook.push(body, pose, frame_id=1)
 
-    _, traj, pts = _parse(_fetch(viewer, "/data?seq=-1"))
+    _, traj, _, pts = _parse(_fetch(viewer, "/data?seq=-1"))
     np.testing.assert_allclose(traj, [[10, 0, -1]])
     np.testing.assert_allclose(
         pts[:, :3], [[10, 1, -1], [8, 0, -1]], atol=1e-5
@@ -111,6 +141,8 @@ def test_vizhook_subsample_masks_and_strides(viewer):
         num_points=jnp.asarray(32),
     )
     out = VizHook(viewer, stride=4).subsample(sb)
-    # stride-4 rows are 0,4,8,... all even -> all mask-true
-    assert out.shape == (16, 3)
-    np.testing.assert_allclose(out[1], [12, 13, 14])
+    # stride-4 rows are 0,4,8,... all even -> all mask-true; reflectivity
+    # rides as the 4th (intensity) column when the buffer carries it
+    assert out.shape == (16, 4)
+    np.testing.assert_allclose(out[1, :3], [12, 13, 14])
+    np.testing.assert_allclose(out[:, 3], 0.0)
