@@ -624,6 +624,21 @@ def bench_odom_berlin(n_sweeps: int = 30):
         [se3.between(traj_g[0].pose, e.pose) for e in traj_g],
         [se3.between(g0, g) for g in gt_poses[: len(traj_g)]],
     )
+    # multi-viewpoint target on the DEFAULT engine (odom_target_window=3):
+    # the single-scan NDT target carries its ground-ring sampling pattern
+    # into the voxel Gaussians, and scan-to-previous cannot exclude-recent
+    # (the target IS the nearest viewpoint) — blending 3 viewpoints
+    # decorrelates the pattern (round-5 ask #5; ATE stuck at 0.0369 m
+    # rounds 2-4)
+    cfg_w = _dc.replace(cfg, register=_dc.replace(
+        cfg.register, odom_target_window=3, map_capacity=1 << 16,
+        reg_grid_shape=(192, 192, 32)))
+    app_w = OdomNdtApp(cfg_w, window=6)
+    traj_w, dt_w, warm_w = _timed_replay(app_w, path)
+    ate_w = ate_rmse(
+        [se3.between(traj_w[0].pose, e.pose) for e in traj_w],
+        [se3.between(g0, g) for g in gt_poses[: len(traj_w)]],
+    )
     print(
         json.dumps(
             {
@@ -636,6 +651,8 @@ def bench_odom_berlin(n_sweeps: int = 30):
                     "stage_ms": app.timer.summary(),
                     "gicp_aniso_engine_kf_s": round(warm_g or len(traj_g) / dt_g, 2),
                     "gicp_aniso_engine_ate_m": round(ate_g, 4),
+                    "target_window3_kf_s": round(warm_w or len(traj_w) / dt_w, 2),
+                    "target_window3_ate_m": round(ate_w, 4),
                 },
             }
         )

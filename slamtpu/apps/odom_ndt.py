@@ -211,7 +211,7 @@ def _register_step(
     static_argnames=(
         "cfg", "capacity", "min_points", "grid_shape", "max_td", "max_rd",
         "method", "svn_cfg", "inner_iters", "window", "smoother_iters",
-        "scan_grid",
+        "scan_grid", "tgt_window",
     ),
     donate_argnums=(0,),
 )
@@ -234,6 +234,8 @@ def _odom_fused_step(
     window: int = 6,
     smoother_iters: int = 4,
     scan_grid: tuple = None,  # see _register_step
+    tgt_window: int = 1,  # RegisterConfig.odom_target_window: clouds in the
+    #   registration target (1 = reference scan-to-previous semantics)
 ):
     """One COMPLETE odometry keyframe in a single device dispatch
     (pipeline.cpp:432-824): transform the previous keyframe cloud to its
@@ -266,11 +268,34 @@ def _odom_fused_step(
     have_pp = n >= 2
     prev32 = Pose3(prev.rot.astype(f32), prev.trans.astype(f32))
     pp32 = Pose3(pp.rot.astype(f32), pp.trans.astype(f32))
-    target = se3.transform_points(prev32, carry["prev_points"])
+    M = tgt_window
+    if M == 1:
+        # reference semantics: target = previous keyframe cloud at its
+        # optimized pose (pipeline.cpp:552-557)
+        target = se3.transform_points(prev32, carry["prev_points"][0])
+        target_mask = carry["prev_mask"][0]
+    else:
+        # multi-viewpoint target: the last M keyframe clouds, each at its
+        # OPTIMIZED pose from the smoother window (decorrelates the
+        # single-scan ground-ring sampling bias — RegisterConfig.
+        # odom_target_window). Ring slot M-1 is the newest (state idx_prev);
+        # slot j holds state idx_prev - (M-1-j), invalid during fill-up.
+        offs = jnp.arange(M) - (M - 1)
+        state_of_slot = idx_prev + offs  # (M,)
+        sidx = jnp.clip(state_of_slot, 0, W - 1)
+        Rm = carry["win_rot"][sidx].astype(f32)  # (M, 3, 3)
+        tm = carry["win_trans"][sidx].astype(f32)  # (M, 3)
+        world = (
+            jnp.einsum("mij,mnj->mni", Rm, carry["prev_points"])
+            + tm[:, None, :]
+        )
+        valid = state_of_slot >= 0
+        target = world.reshape(-1, 3)
+        target_mask = (carry["prev_mask"] & valid[:, None]).reshape(-1)
     guess_cv = robust.constant_velocity_predict(pp32, prev32)
     guess = jax.tree.map(lambda a, b: jnp.where(have_pp, a, b), guess_cv, prev32)
     res = _register_step(
-        target, carry["prev_mask"], new_points, new_mask, guess, origin,
+        target, target_mask, new_points, new_mask, guess, origin,
         cfg, capacity, min_points, grid_shape,
         method=method, svn_cfg=svn_cfg, key=key, inner_iters=inner_iters,
         scan_grid=scan_grid,
@@ -329,7 +354,20 @@ def _odom_fused_step(
         fp_rot=fp_rot, fp_trans=fp_trans, fp_sig=fp_sig,
         fb_rot=fb_rot, fb_trans=fb_trans, fb_si=fb_si,
         n=jnp.minimum(n + 1, W),
-        prev_points=new_points, prev_mask=new_mask,
+        # roll the target-cloud ring: newest at slot M-1 (M == 1 reduces to
+        # the plain previous-cloud carry)
+        prev_points=(
+            new_points[None]
+            if M == 1
+            else jnp.roll(carry["prev_points"], -1, axis=0)
+            .at[M - 1]
+            .set(new_points)
+        ),
+        prev_mask=(
+            new_mask[None]
+            if M == 1
+            else jnp.roll(carry["prev_mask"], -1, axis=0).at[M - 1].set(new_mask)
+        ),
     )
     out = jnp.concatenate(
         [
@@ -395,6 +433,10 @@ class OdomNdtApp:
             if self.newton_cfg.gicp_aniso and reg.svn_src_cov == "stencil"
             else None
         )
+        # multi-viewpoint registration target (RegisterConfig.
+        # odom_target_window); clamped to the smoother window — older
+        # clouds' optimized poses are not retained
+        self.tgt_window = max(1, min(int(reg.odom_target_window), self.window))
         self.svn_cfg = None
         self._key = None
         if self.method == "SVNNDT":
@@ -542,6 +584,7 @@ class OdomNdtApp:
                 window=self.window,
                 smoother_iters=self.smoother_iters,
                 scan_grid=self._scan_grid,
+                tgt_window=self.tgt_window,
             )
         self._n_keyframes += 1
         # the scan buffers enter the donated carry as prev_points/prev_mask
@@ -576,7 +619,7 @@ class OdomNdtApp:
         ndt_score, ndt_iters, ndt_converged, w = out[96:100]
         if self.viz is not None:
             self.viz.push(viz_pts, Pose3(pose_opt[0], pose_opt[1]),
-                          synced.scan.frame_id)
+                          synced.scan.frame_id, ins_pose=ins_pose)
         if self._detector is not None:
             self._odo_rels.append((rel, lidar_cov))
             self._closures += self._detector.add_keyframe(
@@ -638,13 +681,20 @@ class OdomNdtApp:
             fb_trans=jnp.zeros((W, 3), cd),
             fb_si=jnp.asarray(np.tile(np.eye(6), (W, 1, 1)), cd),
             n=jnp.asarray(1, jnp.int32),
-            prev_points=scan.points,
-            prev_mask=scan.mask,
+            # target-cloud ring, newest at slot M-1 (odom_target_window)
+            prev_points=jnp.zeros(
+                (self.tgt_window,) + scan.points.shape, scan.points.dtype
+            )
+            .at[self.tgt_window - 1]
+            .set(scan.points),
+            prev_mask=jnp.zeros((self.tgt_window,) + scan.mask.shape, bool)
+            .at[self.tgt_window - 1]
+            .set(scan.mask),
         )
         self._n_keyframes += 1
         if self.viz is not None:
             self.viz.push(self.viz.subsample(scan), ins_pose,
-                          synced.scan.frame_id)
+                          synced.scan.frame_id, ins_pose=ins_pose)
         if self._detector is not None:
             # copies: the originals enter the donated carry as prev_points
             self._closures += self._detector.add_keyframe(

@@ -55,6 +55,7 @@ _EXTENSION_KEYS = {
     "reg_grid_shape",
     "map_rebuild_every",
     "map_exclude_recent",
+    "odom_target_window",
     "fused_inner_iters",
     "gicp_source_cov",
     "svn_polish_iters",
@@ -152,6 +153,16 @@ class RegisterConfig:
     # them removes the bias at zero cost. 0 = reference full-window
     # semantics.
     map_exclude_recent: int = 0
+    # extension (odom_ndt): register against the last N keyframe clouds at
+    # their OPTIMIZED window poses instead of only the previous one
+    # (run/pipeline.cpp:552-557 semantics at 1). A single-scan NDT target
+    # carries the scan's concentric ground-ring sampling pattern into the
+    # voxel Gaussians; density-biased means alias against the next scan's
+    # shifted rings (the same viewpoint-proximity bias lo_svn removes with
+    # map_exclude_recent, which scan-to-previous odometry cannot use — the
+    # target IS the nearest viewpoint). Blending >=2 viewpoints decorrelates
+    # the ring pattern. Must be <= the smoother window.
+    odom_target_window: int = 1
     # Newton steps per mega-row gather in the fused kernel (a staleness
     # budget also re-gathers after an eighth-voxel of motion). 1 = exact
     # DIRECT7 per step; 2 halves the gather cost at negligible accuracy
@@ -246,6 +257,9 @@ class RegisterConfig:
             ),
             map_exclude_recent=int(
                 p.get("map_exclude_recent", defaults.map_exclude_recent)
+            ),
+            odom_target_window=int(
+                p.get("odom_target_window", defaults.odom_target_window)
             ),
             fused_inner_iters=int(
                 p.get("fused_inner_iters", defaults.fused_inner_iters)

@@ -148,6 +148,28 @@ class TestOdomNdt:
         assert_stats_filled(app)
         assert (app.stats.records[-1].optimized_sigma > 0).all()
 
+    def test_multi_keyframe_target(self, replay):
+        """odom_target_window > 1 (extension): the registration target is
+        the last M keyframe clouds at their OPTIMIZED window poses instead
+        of only the previous one (1 = reference scan-to-previous semantics,
+        run/pipeline.cpp:552-557). Must track GT at least as well and keep
+        the full stats contract."""
+        path, gt, cfg = replay
+        import dataclasses as _dc
+
+        cfg3 = _dc.replace(
+            cfg, register=_dc.replace(cfg.register, odom_target_window=3)
+        )
+        app = OdomNdtApp(cfg3, window=4)
+        assert app.tgt_window == 3
+        traj = app.run_replay(path)
+        assert len(traj) == N_SWEEPS - 1
+        errs = traj_errors(traj, gt)
+        assert errs.max() < 0.3, errs
+        assert_stats_filled(app)
+        # clamped to the smoother window (older optimized poses are gone)
+        assert OdomNdtApp(cfg3, window=2).tgt_window == 2
+
 
 class TestRegistrationMethodDispatch:
     """The reference switches engines on registration_method
