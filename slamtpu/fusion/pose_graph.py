@@ -146,7 +146,19 @@ def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> Pose
         )
         D = D + jnp.einsum("nab,nac->nbc", Jp, Jp)
         D = D + (cfg.damping + anchor[..., None]) * jnp.eye(6, dtype=dtype)
-        P = jnp.linalg.inv(D)
+        # Invert each 6x6 block through Jacobi-equilibrated Cholesky (the
+        # smoother's solve trick, smoother.py::optimize_pose_window): scale
+        # to unit diagonal before factoring so the f32 factorization stays
+        # accurate across the ~1e12 magnitude spread between anchored
+        # (anchor_weight=1e6) and barely-constrained blocks. P is formed
+        # explicitly so PCG's preconditioner apply stays one batched matmul.
+        d = jax.lax.rsqrt(jnp.maximum(
+            jnp.diagonal(D, axis1=-2, axis2=-1), 1e-30))
+        Ds = D * d[:, :, None] * d[:, None, :]
+        L = jnp.linalg.cholesky(Ds)
+        eye6 = jnp.broadcast_to(jnp.eye(6, dtype=dtype), Ds.shape)
+        Ps = jax.scipy.linalg.cho_solve((L, True), eye6)
+        P = Ps * d[:, :, None] * d[:, None, :]
 
         def hx(x):  # x: (N, 6) -> H x (normal equations product)
             ui = jnp.einsum("fab,fb->fa", Ji, x[g.i]) + jnp.einsum(

@@ -40,8 +40,8 @@ class VoxelStats(NamedTuple):
 
     keys: jax.Array  # (V,) int32, sorted
     n: jax.Array  # (V,) int32
-    sx: jax.Array  # (V, 3) sum of points
-    sxx: jax.Array  # (V, 3, 3) sum of outer products
+    sx: jax.Array  # (V, 3) sum of voxel-corner-relative points
+    sxx: jax.Array  # (V, 3, 3) sum of their outer products
     origin: jax.Array  # (3,)
     resolution: jax.Array  # ()
     overflow: jax.Array  # () int32: distinct voxels dropped for capacity
@@ -77,9 +77,9 @@ def _segment_reduce(keys: jax.Array, points: jax.Array, capacity: int):
     """Sort by key and segment-sum sufficient statistics.
 
     keys: (N,) int32 (INVALID_KEY for masked-out points); points: (N, 3)
-    expressed RELATIVE to the map origin (see stats_from_points — absolute
-    world coordinates in float32 lose the covariance to catastrophic
-    cancellation once |p|^2 >> cov entries, i.e. a few hundred meters out).
+    expressed RELATIVE to each point's own voxel corner (see
+    stats_from_points — larger offsets in float32 lose the covariance to
+    catastrophic cancellation once |p|^2 >> cov entries).
     Returns (slot_keys, n, sx, sxx, overflow) over ``capacity`` slots.
     """
     order = jnp.argsort(keys)
@@ -117,16 +117,24 @@ def stats_from_points(
 
     points: (N, 3); mask: (N,) bool marking real (non-padding, finite) points.
 
-    Sufficient statistics accumulate ORIGIN-RELATIVE coordinates: in float32,
-    absolute sums lose the voxel covariance (cov = E[xx] - E[x]E[x] cancels
-    catastrophically once |p| reaches a few hundred meters). ``finalize``
-    adds the origin back to the means; covariances are translation-invariant.
+    Sufficient statistics accumulate VOXEL-CORNER-RELATIVE coordinates
+    (magnitudes < resolution): in float32, larger offsets lose the voxel
+    covariance to catastrophic cancellation in cov = E[xx] - E[x]E[x] — at
+    origin-relative magnitudes of a few hundred meters (the Berlin grid is
+    1024 m wide) the absolute rounding in sxx/n is ~1e-2 m^2, larger than
+    the ~1e-4 m^2 surface-normal eigenvalue the registration accuracy rides
+    on. ``finalize`` recovers each voxel's corner from its packed key and
+    shifts the means back to world coordinates; covariances are
+    translation-invariant.
     """
     finite = jnp.all(jnp.isfinite(points), axis=-1)
-    keys = voxel.key_of_points(points, origin, 1.0 / resolution, mask & finite)
     rel = points - origin.astype(points.dtype)[None, :]
-    rel = jnp.where(finite[:, None], rel, 0.0)  # NaN/Inf must not poison sums
-    slot_keys, n, sx, sxx, overflow = _segment_reduce(keys, rel, capacity)
+    coords = jnp.floor(rel * (1.0 / resolution)).astype(jnp.int32)
+    keys = voxel.pack(coords)
+    keys = jnp.where(mask & finite, keys, voxel.INVALID_KEY)
+    rel_v = rel - coords.astype(points.dtype) * resolution
+    rel_v = jnp.where(finite[:, None], rel_v, 0.0)  # NaN/Inf must not poison sums
+    slot_keys, n, sx, sxx, overflow = _segment_reduce(keys, rel_v, capacity)
     return VoxelStats(slot_keys, n, sx, sxx, origin, jnp.asarray(resolution), overflow)
 
 
@@ -176,10 +184,19 @@ def finalize(
     min_points_per_voxel = max(min_points_per_voxel, 3)
     n = stats.n
     nf = jnp.maximum(n, 1).astype(stats.sx.dtype)
-    # stats are origin-relative (see stats_from_points); covariance is
-    # translation-invariant, the mean shifts back to world coordinates
+    # stats are voxel-corner-relative (see stats_from_points); covariance is
+    # translation-invariant, the mean shifts back to world coordinates via
+    # the corner recovered from the packed key (INVALID_KEY slots unpack to
+    # a large but finite corner; their icov is zeroed below so gathers
+    # through them contribute nothing)
+    corner = (
+        voxel.unpack(jnp.where(stats.keys == voxel.INVALID_KEY, 0, stats.keys))
+        .astype(stats.sx.dtype)
+        * stats.resolution.astype(stats.sx.dtype)
+        + stats.origin.astype(stats.sx.dtype)[None, :]
+    )
     rel_mean = stats.sx / nf[:, None]
-    mean = rel_mean + stats.origin.astype(stats.sx.dtype)[None, :]
+    mean = rel_mean + corner
     cov = stats.sxx / nf[:, None, None] - rel_mean[:, :, None] * rel_mean[:, None, :]
     bessel = nf / jnp.maximum(nf - 1.0, 1.0)
     cov = cov * bessel[:, None, None]

@@ -244,11 +244,16 @@ def stencil_point_covariances(
                 VQ = VQ.at[:, -ds:].set(False)  # channel axis does not wrap
             elif ds < 0:
                 VQ = VQ.at[:, :-ds].set(False)
-            d2 = jnp.sum((Q - P) ** 2, axis=-1)
+            # accumulate CENTER-RELATIVE offsets: absolute body-frame coords
+            # reach 150 m, where the f32 rounding of Q*Q (~1.5e-3 m^2)
+            # swamps the ~1e-4 m^2 surface-normal variance the plane model
+            # rides on; |Q - P| is bounded by the distance gate
+            Qr = Q - P
+            d2 = jnp.sum(Qr**2, axis=-1)
             w = (V & VQ & (d2 <= gate2)).astype(dtype)
             n = n + w
-            sx = sx + w[..., None] * Q
-            sxx = sxx + w[..., None, None] * (Q[..., :, None] * Q[..., None, :])
+            sx = sx + w[..., None] * Qr
+            sxx = sxx + w[..., None, None] * (Qr[..., :, None] * Qr[..., None, :])
     nf = jnp.maximum(n, 1.0)
     mu = sx / nf[..., None]
     cov = sxx / nf[..., None, None] - mu[..., :, None] * mu[..., None, :]
@@ -290,8 +295,16 @@ def source_point_covariances(
     origin = (
         jnp.floor(jnp.min(masked, axis=0) / resolution) - 1.0
     ) * resolution
-    keys = voxel.key_of_points(points, origin, 1.0 / resolution, mask)
-    pts_rel = jnp.where(finite[:, None], points - origin[None, :], 0.0)
+    # voxel-corner-relative offsets (|rel| < resolution): origin-relative
+    # coords reach the scan diameter (~300 m), whose f32 outer-product
+    # rounding (~6e-3 m^2) swamps the per-voxel surface covariance — the
+    # same cancellation fixed in mapping.gaussian_map.stats_from_points
+    rel = points - origin[None, :]
+    coords = jnp.floor(rel * (1.0 / resolution)).astype(jnp.int32)
+    keys = jnp.where(mask, voxel.pack(coords), voxel.INVALID_KEY)
+    pts_rel = jnp.where(
+        finite[:, None], rel - coords.astype(dtype) * resolution, 0.0
+    )
 
     order = jnp.argsort(keys)
     skeys = keys[order]

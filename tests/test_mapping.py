@@ -149,6 +149,44 @@ class TestGaussianMap:
         lit = np.diag([0.54 / 7, 0.54 / 7, 0.01 * 0.54 / 7])
         np.testing.assert_allclose(np.asarray(gmap.cov[v]), lit, atol=2e-4)
 
+    def test_far_from_map_origin_normal_eigenvalue(self):
+        """The surface-normal eigenvalue (~1e-4 m^2 for a 2 cm-thick wall)
+        must survive float32 stats for voxels ~500 m from the MAP origin —
+        the far half of the 1024 m Berlin grid. Origin-relative sums lose it
+        (|rel|^2 ~ 2.5e5 m^2 quantizes at ~1.5e-2 m^2, 40x the eigenvalue);
+        voxel-corner-relative sums keep |rel| < resolution."""
+        rng = np.random.default_rng(3)
+        n = 400
+        c = np.array([500.5, 500.5, 30.5])
+        pts64 = c + np.stack(
+            [
+                rng.uniform(-0.45, 0.45, n),
+                rng.uniform(-0.45, 0.45, n),
+                # thin wall, normal = z: sigma chosen so the true smallest
+                # eigenvalue (1.6e-3 m^2) clears the 0.01*lambda_max
+                # inflation floor (~7e-4) yet stays far below the ~1.5e-2
+                # m^2 rounding noise of origin-relative f32 accumulation
+                rng.normal(scale=0.04, size=n),
+            ],
+            axis=1,
+        )
+        pts = jnp.asarray(pts64, jnp.float32)
+        origin = jnp.zeros(3, jnp.float32)
+        stats = gaussian_map.stats_from_points(
+            pts, jnp.ones(n, bool), origin, jnp.asarray(1.0, jnp.float32), 8
+        )
+        gmap = gaussian_map.finalize(stats, min_points_per_voxel=3)
+        v = int(jnp.argmax(gmap.valid))
+        assert bool(gmap.valid[v])
+        cov64 = np.cov(pts64.T, ddof=1)
+        ev_true = np.linalg.eigvalsh(cov64)
+        ev = np.sort(np.asarray(gmap.evals[v], np.float64))
+        np.testing.assert_allclose(
+            np.asarray(gmap.mean[v], np.float64), pts64.mean(0), atol=1e-3
+        )
+        # smallest (normal-direction) eigenvalue accurate to 20%
+        np.testing.assert_allclose(ev[0], ev_true[0], rtol=0.2)
+
     def test_overflow_reported(self):
         pts = RNG.uniform(0, 100, size=(4000, 3))
         mask = np.ones(4000, bool)
