@@ -533,6 +533,9 @@ def bench_ligo_berlin(n_sweeps: int = 30):
             map_capacity=1 << 16,
             min_points_per_voxel=4,
             reg_grid_shape=(192, 192, 32),
+            # operating point (round 5): amortize the map+RegMap build like
+            # lo_berlin — per-keyframe rebuild measured 4.65 kf/s
+            map_rebuild_every=4,
         ),
         deskew=True,
     )
@@ -548,6 +551,22 @@ def bench_ligo_berlin(n_sweeps: int = 30):
         [se3.between(a0, e.pose) for e in traj],
         [se3.between(g0, g) for g in gt_poses[: len(traj)]],
     )
+    # parity variant: per-keyframe rebuild (reference setInputTarget
+    # semantics) + the conservative QR smoother solve
+    import dataclasses as _dc
+
+    cfg1 = _dc.replace(
+        cfg,
+        register=_dc.replace(
+            cfg.register, map_rebuild_every=1, smoother_solver="qr"
+        ),
+    )
+    app1 = LigoTcApp(cfg1, window=6)
+    traj1, dt1, warm1 = _timed_replay(app1, path)
+    ate1 = ate_rmse(
+        [se3.between(traj1[0].pose, e.pose) for e in traj1],
+        [se3.between(g0, g) for g in gt_poses[: len(traj1)]],
+    )
     print(
         json.dumps(
             {
@@ -559,6 +578,9 @@ def bench_ligo_berlin(n_sweeps: int = 30):
                     "keyframes": len(traj),
                     "ate_rmse_m": round(ate, 4),
                     "stage_ms": app.timer.summary(),
+                    "rebuild_every": 4,
+                    "parity_rebuild1_qr_kf_s": round(warm1 or len(traj1) / dt1, 2),
+                    "parity_rebuild1_qr_ate_m": round(ate1, 4),
                 },
             }
         )

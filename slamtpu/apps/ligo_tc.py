@@ -436,7 +436,12 @@ class LigoTcApp:
                 sqrt_info=a["fi_si"], active=a["b_active"],
             ),
         )
-        result = smoother.optimize(st, factors, SmootherConfig(iterations=6))
+        result = smoother.optimize(
+            st, factors,
+            SmootherConfig(
+                iterations=6, solver=self.cfg.register.smoother_solver
+            ),
+        )
         cov = marginal_covariance(result.hessian, a["cur"])
         return dict(
             rot=result.state.rot, trans=result.state.trans,

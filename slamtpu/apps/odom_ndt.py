@@ -211,7 +211,7 @@ def _register_step(
     static_argnames=(
         "cfg", "capacity", "min_points", "grid_shape", "max_td", "max_rd",
         "method", "svn_cfg", "inner_iters", "window", "smoother_iters",
-        "scan_grid", "tgt_window",
+        "scan_grid", "tgt_window", "tgt_exclude",
     ),
     donate_argnums=(0,),
 )
@@ -219,8 +219,10 @@ def _odom_fused_step(
     carry,  # device-resident odometry state (window ring + prev cloud), donated
     new_points,  # (N, 3) body frame
     new_mask,
-    flat,  # (23,) [ins_rot(9), ins_trans(3), scaled_sigma(6), origin(3),
-    #   lidar sigma floor (rot, trans)]
+    flat,  # (36,) [ins_rot(9), ins_trans(3), scaled_sigma(6), origin(3),
+    #   lidar sigma floor (rot, trans), use_ins_rel flag(1),
+    #   ins_rel rot(9) + trans(3) — INS relative motion since the previous
+    #   keyframe, the registration seed]
     cfg: NewtonConfig,
     capacity: int,
     min_points: int,
@@ -236,6 +238,9 @@ def _odom_fused_step(
     scan_grid: tuple = None,  # see _register_step
     tgt_window: int = 1,  # RegisterConfig.odom_target_window: clouds in the
     #   registration target (1 = reference scan-to-previous semantics)
+    tgt_exclude: int = 0,  # RegisterConfig.odom_target_exclude: drop the
+    #   newest E target clouds (requires tgt_window > 1; see the ring-lock
+    #   note in the target assembly below)
 ):
     """One COMPLETE odometry keyframe in a single device dispatch
     (pipeline.cpp:432-824): transform the previous keyframe cloud to its
@@ -290,10 +295,39 @@ def _odom_fused_step(
             + tm[:, None, :]
         )
         valid = state_of_slot >= 0
+        if tgt_exclude > 0:  # see RegisterConfig.odom_target_exclude
+            # RegisterConfig.odom_target_exclude: drop the newest E clouds
+            # from the target — the ring-pattern lock is a NEAREST-viewpoint
+            # effect (correlation decays below mm past ~1.5 m separation,
+            # BENCH_NOTES "ATE error budget"); clouds >= 2 keyframes back
+            # still cover the scan while their ring phases have diverged.
+            # Clamped during fill-up so at least one cloud always remains.
+            keep_from_newest = jnp.arange(M)[::-1]  # M-1 -> 0, ..., 0 -> M-1
+            n_valid = jnp.sum(valid.astype(jnp.int32))
+            e_eff = jnp.minimum(tgt_exclude, jnp.maximum(n_valid - 1, 0))
+            valid = valid & (keep_from_newest >= e_eff)
         target = world.reshape(-1, 3)
         target_mask = (carry["prev_mask"] & valid[:, None]).reshape(-1)
     guess_cv = robust.constant_velocity_predict(pp32, prev32)
     guess = jax.tree.map(lambda a, b: jnp.where(have_pp, a, b), guess_cv, prev32)
+    # INS-relative seed (flat[23] set): guess = prev_optimized o INS relative
+    # motion. Pure const-velocity under-predicts during cold start (no
+    # velocity estimate yet) and under acceleration; with the round-5
+    # accurate map covariances the wall Gaussians are genuine ~3 cm-sigma
+    # pancakes, so a 0.3 m guess error sits ~10 sigma out where the NDT
+    # gradient vanishes — registration then recovers only part of the motion
+    # and the 3 mm-sigma between factors freeze the shortfall against the
+    # cm-sigma INS priors (measured: 0.145 m/keyframe until the window
+    # fills). The INS relative motion is cm-class over one sweep and is the
+    # same FrameData the reference feeds its prior factor (pipeline.cpp:
+    # 637-665); the reference's own const-vel seed (:763-770) faces the same
+    # cold start against its f64-exact maps.
+    use_ins_rel = flat[23] > 0.5
+    rel_ins = Pose3(flat[24:33].reshape(3, 3).astype(f32), flat[33:36].astype(f32))
+    guess_ins = se3.compose(prev32, rel_ins)
+    guess = jax.tree.map(
+        lambda a, b: jnp.where(use_ins_rel, a, b), guess_ins, guess
+    )
     res = _register_step(
         target, target_mask, new_points, new_mask, guess, origin,
         cfg, capacity, min_points, grid_shape,
@@ -437,6 +471,11 @@ class OdomNdtApp:
         # odom_target_window); clamped to the smoother window — older
         # clouds' optimized poses are not retained
         self.tgt_window = max(1, min(int(reg.odom_target_window), self.window))
+        # target-cloud exclusion needs a ring to exclude from; cap so at
+        # least one cloud survives at steady state
+        self.tgt_exclude = max(
+            0, min(int(reg.odom_target_exclude), self.tgt_window - 1)
+        )
         self.svn_cfg = None
         self._key = None
         if self.method == "SVNNDT":
@@ -470,6 +509,9 @@ class OdomNdtApp:
         # device-resident odometry state (window ring + previous cloud);
         # see _odom_fused_step. None until the first keyframe.
         self._carry = None
+        # (rot, trans) numpy f64 INS pose of the previous keyframe — source
+        # of the INS-relative registration seed (use_ins_rel in the step)
+        self._prev_ins = None
         self._n_keyframes = 0
         # keyframes whose device results are still in flight — the host
         # fetches lag one keyframe behind dispatch so the next frame's
@@ -554,6 +596,23 @@ class OdomNdtApp:
         )
         scaled_sigma = np.maximum(ins_sigma * float(scale), 1e-6)
         reg = self.cfg.register
+        # INS relative motion since the previous keyframe — the registration
+        # seed (see the use_ins_rel note in _odom_fused_step). None after a
+        # legacy-checkpoint resume: that first keyframe falls back to the
+        # const-velocity seed.
+        if self._prev_ins is not None:
+            pr, pt = self._prev_ins
+            cr = np.asarray(ins_pose.rot, np.float64)
+            ct = np.asarray(ins_pose.trans, np.float64)
+            rel_rot = pr.T @ cr
+            rel_trans = pr.T @ (ct - pt)
+            ins_rel = np.concatenate([[1.0], rel_rot.ravel(), rel_trans])
+        else:
+            ins_rel = np.zeros(13)
+        self._prev_ins = (
+            np.asarray(ins_pose.rot, np.float64).copy(),
+            np.asarray(ins_pose.trans, np.float64).copy(),
+        )
         flat = np.concatenate(
             [
                 np.asarray(ins_pose.rot, np.float64).ravel(),
@@ -561,6 +620,7 @@ class OdomNdtApp:
                 scaled_sigma,
                 np.asarray(self._origin, np.float64),
                 [reg.lidar_rot_sigma_floor, reg.lidar_trans_sigma_floor],
+                ins_rel,
             ]
         ).astype(self._flat_dtype)
         with self.timer.span("step"):
@@ -585,6 +645,7 @@ class OdomNdtApp:
                 smoother_iters=self.smoother_iters,
                 scan_grid=self._scan_grid,
                 tgt_window=self.tgt_window,
+                tgt_exclude=self.tgt_exclude,
             )
         self._n_keyframes += 1
         # the scan buffers enter the donated carry as prev_points/prev_mask
@@ -664,6 +725,10 @@ class OdomNdtApp:
     def _start(self, ins_pose, ins_sigma, synced, scan):
         W = self.window
         cd = self._flat_dtype
+        self._prev_ins = (
+            np.asarray(ins_pose.rot, np.float64).copy(),
+            np.asarray(ins_pose.trans, np.float64).copy(),
+        )
         eye3 = np.tile(np.eye(3), (W, 1, 1))
         win_rot = eye3.copy()
         win_rot[0] = np.asarray(ins_pose.rot, np.float64)

@@ -24,6 +24,14 @@ class SmootherConfig(NamedTuple):
     iterations: int = 8
     damping: float = 1e-6
     step_tol: float = 1e-10
+    # "qr": QR on the augmented Jacobian (safest f32 conditioning);
+    # "chol": Jacobi-equilibrated Cholesky on the normal equations — the
+    # same system (H = J^T J + diag(pin) + damping I), solved at a fraction
+    # of the cost: small-matrix QR is sequential-per-column on TPU and
+    # dominated the ligo keyframe (the pose-only window made the same trade
+    # in optimize_pose_window; equilibration keeps diag(H~) == 1 across the
+    # ~1e6+ info-magnitude spread between IMU and prior factors).
+    solver: str = "qr"
 
 
 class SmootherResult(NamedTuple):
@@ -63,6 +71,17 @@ def optimize(
 
     def gn_step(st):
         r, J = _linearize(st, factors)
+        if cfg.solver == "chol":
+            # normal equations of the same augmented system: the diag(pin)
+            # rows contribute pin (0/1 entries square to themselves), the
+            # sqrt_damp rows contribute damping * I
+            H = J.T @ J + jnp.diag(pin) + cfg.damping * jnp.eye(n, dtype=dtype)
+            g = J.T @ r
+            d = jax.lax.rsqrt(jnp.maximum(jnp.diag(H), 1e-30))
+            Hs = H * d[:, None] * d[None, :]
+            L = jnp.linalg.cholesky(Hs)
+            z = jax.scipy.linalg.cho_solve((L, True), -(d * g))
+            return d * z
         aug = jnp.concatenate(
             [J, jnp.diag(pin), sqrt_damp * jnp.eye(n, dtype=dtype)], axis=0
         )

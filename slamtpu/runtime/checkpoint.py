@@ -130,6 +130,14 @@ def save_odom_ndt(path: str, app):
         trust=np.asarray([1.0 if was_denied else 0.0, trust], np.float64),
         n_keyframes=np.asarray(app._n_keyframes),
         key=np.asarray(app._key) if app._key is not None else np.zeros(0, np.uint32),
+        # previous-keyframe INS pose (rot | trans columns): the INS-relative
+        # registration seed; absent in pre-round-5 checkpoints (the first
+        # resumed keyframe then falls back to the const-velocity seed)
+        prev_ins=np.concatenate(
+            [app._prev_ins[0], app._prev_ins[1][:, None]], axis=1
+        )
+        if app._prev_ins is not None
+        else np.zeros((0, 4)),
         **carry_np,
     )
 
@@ -146,6 +154,10 @@ def load_odom_ndt(path: str, app):
     app._n_keyframes = int(z["n_keyframes"])
     if z["key"].size:
         app._key = jnp.asarray(z["key"])
+    if "prev_ins" in z.files and z["prev_ins"].size:
+        app._prev_ins = (
+            z["prev_ins"][:, :3].copy(), z["prev_ins"][:, 3].copy()
+        )
     return app
 
 

@@ -56,6 +56,7 @@ _EXTENSION_KEYS = {
     "map_rebuild_every",
     "map_exclude_recent",
     "odom_target_window",
+    "odom_target_exclude",
     "fused_inner_iters",
     "gicp_source_cov",
     "svn_polish_iters",
@@ -63,6 +64,7 @@ _EXTENSION_KEYS = {
     "svn_polish_from",
     "lidar_rot_sigma_floor",
     "lidar_trans_sigma_floor",
+    "smoother_solver",
 }
 
 
@@ -163,11 +165,24 @@ class RegisterConfig:
     # target IS the nearest viewpoint). Blending >=2 viewpoints decorrelates
     # the ring pattern. Must be <= the smoother window.
     odom_target_window: int = 1
+    # extension (odom_ndt, with odom_target_window > 1): drop the newest N
+    # clouds from the registration target. The ring-pattern lock that stalls
+    # scan-to-previous NDT is a nearest-viewpoint effect (phase correlation
+    # decays below mm past ~1.5 m of viewpoint separation, BENCH_NOTES "ATE
+    # error budget"); excluding the adjacent cloud(s) registers against
+    # viewpoints whose ring phases have diverged while the smoother chain is
+    # unchanged. Capped at odom_target_window - 1.
+    odom_target_exclude: int = 0
     # Newton steps per mega-row gather in the fused kernel (a staleness
     # budget also re-gathers after an eighth-voxel of motion). 1 = exact
     # DIRECT7 per step; 2 halves the gather cost at negligible accuracy
     # loss; larger values trade convergence rate on hard scenes
     fused_inner_iters: int = 2
+    # window-smoother linear solver (fusion.smoother.SmootherConfig.solver):
+    # "chol" = Jacobi-equilibrated normal-equation Cholesky (fast; TPU
+    # small-matrix QR is sequential-per-column), "qr" = augmented-Jacobian
+    # QR (most conservative f32 conditioning)
+    smoother_solver: str = "chol"
 
     @classmethod
     def from_json(cls, obj: dict) -> "RegisterConfig":
@@ -261,8 +276,14 @@ class RegisterConfig:
             odom_target_window=int(
                 p.get("odom_target_window", defaults.odom_target_window)
             ),
+            odom_target_exclude=int(
+                p.get("odom_target_exclude", defaults.odom_target_exclude)
+            ),
             fused_inner_iters=int(
                 p.get("fused_inner_iters", defaults.fused_inner_iters)
+            ),
+            smoother_solver=str(
+                p.get("smoother_solver", defaults.smoother_solver)
             ),
         )
 

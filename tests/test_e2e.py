@@ -170,6 +170,40 @@ class TestOdomNdt:
         # clamped to the smoother window (older optimized poses are gone)
         assert OdomNdtApp(cfg3, window=2).tgt_window == 2
 
+    def test_target_exclude_newest(self, replay):
+        """odom_target_exclude (extension): register against the window
+        clouds MINUS the newest — the scan-to-previous ring-lock fix (the
+        ring-phase correlation is a nearest-viewpoint effect; see
+        BENCH_NOTES "ATE error budget"). Must keep tracking through the
+        fill-up phase, where the exclusion is clamped so at least one
+        target cloud always remains."""
+        path, gt, cfg = replay
+        import dataclasses as _dc
+
+        cfge = _dc.replace(
+            cfg,
+            register=_dc.replace(
+                cfg.register, odom_target_window=4, odom_target_exclude=1
+            ),
+        )
+        app = OdomNdtApp(cfge, window=4)
+        assert app.tgt_window == 4 and app.tgt_exclude == 1
+        traj = app.run_replay(path)
+        assert len(traj) == N_SWEEPS - 1
+        errs = traj_errors(traj, gt)
+        assert errs.max() < 0.3, errs
+        assert_stats_filled(app)
+        # exclusion is capped below the ring size
+        assert OdomNdtApp(
+            _dc.replace(
+                cfg,
+                register=_dc.replace(
+                    cfg.register, odom_target_window=2, odom_target_exclude=5
+                ),
+            ),
+            window=4,
+        ).tgt_exclude == 1
+
 
 class TestRegistrationMethodDispatch:
     """The reference switches engines on registration_method
