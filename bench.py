@@ -1365,15 +1365,13 @@ def bench_roofline():
     from slamtpu.ndt.constants import gauss_constants
     from slamtpu.ndt.pallas_math import fused_objective, gather_megaT
 
-    world = _world()
-    pts = jnp.asarray(world, jnp.float32)
-    mask = jnp.ones(pts.shape[0], bool)
+    _, pts, mask, origin = _world()
     N = pts.shape[0]
     grid_shape = (192, 192, 48)
     gmap = jax.jit(
         gaussian_map.build_map,
         static_argnames=("capacity", "min_points_per_voxel"),
-    )(pts, mask, jnp.zeros(3, jnp.float32) - 8.0, RESOLUTION,
+    )(pts, mask, origin, RESOLUTION,
       capacity=1 << 17, min_points_per_voxel=6)
     regmap = build_regmap(gmap, grid_shape=grid_shape)
     jax.block_until_ready(regmap.packed)
